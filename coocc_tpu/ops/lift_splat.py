@@ -1,0 +1,74 @@
+"""LSS lift-splat as a fused scatter-add (TPU-native bev_pool).
+
+Replaces the reference's CUDA bev_pool interval-sum kernel
+(reference: mmdetection3d/mmdet3d/ops/bev_pool/bev_pool.py:37-97 and
+src/bev_pool_cuda.cu) with an XLA design that never materializes the
+[B, N, D, fH, fW, C] outer-product volume the torch path builds
+(ViewTransformerLSSVoxel.py:136-145):
+
+    out[b, v, :] = sum_{p in frustum, voxel(p)=v} depth_prob[p] * img_feat[pixel(p), :]
+
+The frustum point -> voxel assignment comes from geometry only, so the heavy
+[P, C] feature gather is fused with the depth weighting and reduced with a
+sorted segment-sum (monotonic segment ids -> efficient TPU lowering, no
+atomics).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.frustum import voxel_indices
+from .voxelize import linearize
+
+
+def lift_splat(depth_prob: jnp.ndarray, img_feat: jnp.ndarray,
+               geom: jnp.ndarray, dx, bx, nx, *,
+               sort: bool = True) -> jnp.ndarray:
+    """Splat per-pixel depth-weighted image features into the voxel grid.
+
+    Args:
+      depth_prob: [B, N, D, fH, fW] softmax depth distribution.
+      img_feat:   [B, N, fH, fW, C] image context features (channels-last).
+      geom:       [B, N, D, fH, fW, 3] ego-frame frustum points.
+      dx, bx, nx: voxel grid spec (see geometry.frustum.gen_dx_bx).
+      sort:       sort points by voxel id for a sorted segment-sum
+                  (faster on TPU than scatter-add with random indices).
+
+    Returns: [B, X, Y, Z, C] voxel features.
+    """
+    B, N, D, fH, fW = depth_prob.shape
+    C = img_feat.shape[-1]
+    nx_i = [int(v) for v in nx]
+    n_vox = nx_i[0] * nx_i[1] * nx_i[2]
+    P = N * D * fH * fW
+
+    idx, valid = voxel_indices(geom, dx, bx, nx)  # [B,N,D,fH,fW,3], bool
+    vox_id = linearize(idx, nx_i)
+    vox_id = jnp.where(valid, vox_id, n_vox).reshape(B, P)
+
+    w = depth_prob.reshape(B, P)
+    # pixel index of each frustum point into the [N*fH*fW, C] feature table
+    pix = (
+        jnp.arange(N)[:, None, None, None] * (fH * fW)
+        + jnp.arange(fH)[None, None, :, None] * fW
+        + jnp.arange(fW)[None, None, None, :]
+    )
+    pix = jnp.broadcast_to(pix, (N, D, fH, fW)).reshape(P)
+
+    def one_sample(wb, vb, fb):
+        feats = fb.reshape(N * fH * fW, C)
+        if sort:
+            order = jnp.argsort(vb)
+            vb_s = vb[order]
+            contrib = feats[pix[order]] * wb[order][:, None]
+            out = jax.ops.segment_sum(
+                contrib, vb_s, num_segments=n_vox + 1,
+                indices_are_sorted=True,
+            )
+        else:
+            contrib = feats[pix] * wb[:, None]
+            out = jax.ops.segment_sum(contrib, vb, num_segments=n_vox + 1)
+        return out[:n_vox].reshape(nx_i[0], nx_i[1], nx_i[2], C)
+
+    return jax.vmap(one_sample)(w, vox_id, img_feat)

@@ -1,0 +1,70 @@
+"""grid_sample / interpolate parity vs torch (CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from coocc_tpu.ops.grid_sample import grid_sample_2d, grid_sample_3d
+from coocc_tpu.ops.interpolate import (
+    resize_bilinear_chlast, resize_trilinear_chlast,
+)
+
+
+def test_grid_sample_2d_parity(rng):
+    img = rng.randn(7, 9, 3).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(5, 6, 2)).astype(np.float32)
+    for ac in (False, True):
+        for pm in ("zeros", "border"):
+            ref = F.grid_sample(
+                torch.from_numpy(img).permute(2, 0, 1)[None],
+                torch.from_numpy(grid)[None],
+                mode="bilinear", padding_mode=pm, align_corners=ac,
+            )[0].permute(1, 2, 0).numpy()
+            got = np.asarray(grid_sample_2d(
+                jnp.asarray(img), jnp.asarray(grid),
+                align_corners=ac, padding_mode=pm,
+            ))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_3d_parity(rng):
+    vol = rng.randn(4, 6, 5, 2).astype(np.float32)  # [D, H, W, C]
+    grid = rng.uniform(-1.2, 1.2, size=(3, 4, 2, 3)).astype(np.float32)
+    for ac in (False, True):
+        for pm in ("zeros", "border"):
+            ref = F.grid_sample(
+                torch.from_numpy(vol).permute(3, 0, 1, 2)[None],
+                torch.from_numpy(grid)[None],
+                mode="bilinear", padding_mode=pm, align_corners=ac,
+            )[0].permute(1, 2, 3, 0).numpy()
+            got = np.asarray(grid_sample_3d(
+                jnp.asarray(vol), jnp.asarray(grid),
+                align_corners=ac, padding_mode=pm,
+            ))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_trilinear_resize_parity(rng):
+    x = rng.randn(1, 5, 6, 4, 3).astype(np.float32)  # [B, X, Y, Z, C]
+    for ac in (False, True):
+        for size in ((10, 12, 8), (3, 3, 2)):
+            ref = F.interpolate(
+                torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+                size=size, mode="trilinear", align_corners=ac,
+            ).permute(0, 2, 3, 4, 1).numpy()
+            got = np.asarray(resize_trilinear_chlast(
+                jnp.asarray(x), size, align_corners=ac))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_resize_parity(rng):
+    x = rng.randn(2, 8, 6, 4).astype(np.float32)  # [B, H, W, C]
+    for ac in (False, True):
+        for size in ((16, 12), (128, 96)):
+            ref = F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                size=size, mode="bilinear", align_corners=ac,
+            ).permute(0, 2, 3, 1).numpy()
+            got = np.asarray(resize_bilinear_chlast(
+                jnp.asarray(x), size, align_corners=ac))
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,61 @@
+import jax.numpy as jnp
+import numpy as np
+
+from coocc_tpu.ops.voxelize import voxelize, voxelize_oracle
+
+
+def _run(points, max_voxels=64, cap=10, grid=(8, 8, 4)):
+    pcr = (-4.0, -4.0, -2.0, 4.0, 4.0, 2.0)
+    vs = (1.0, 1.0, 1.0)
+    P = points.shape[0]
+    pad = 100
+    pts = np.zeros((P + pad, points.shape[1]), np.float32)
+    pts[:P] = points
+    mask = np.zeros(P + pad, bool)
+    mask[:P] = True
+    out = voxelize(
+        jnp.asarray(pts), jnp.asarray(mask), pcr, vs, grid,
+        max_voxels=max_voxels, max_points_per_voxel=cap,
+    )
+    ids_ref, feats_ref = voxelize_oracle(
+        points, pcr, vs, grid, max_voxels=max_voxels, max_points_per_voxel=cap
+    )
+    got_mask = np.asarray(out.mask)
+    got_ids = np.asarray(out.ids)[got_mask]
+    got_feats = np.asarray(out.features)[got_mask]
+    return got_ids, got_feats, ids_ref, feats_ref
+
+
+def test_voxelize_matches_oracle(rng):
+    pts = rng.uniform(-5, 5, size=(500, 5)).astype(np.float32)
+    ids, feats, ids_ref, feats_ref = _run(pts)
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_allclose(feats, feats_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_voxelize_point_cap(rng):
+    # 30 points all in one voxel: only first 10 (original order) contribute
+    pts = np.zeros((30, 5), np.float32)
+    pts[:, :3] = 0.25
+    pts[:, 3] = np.arange(30)
+    ids, feats, ids_ref, feats_ref = _run(pts)
+    assert len(ids) == 1
+    np.testing.assert_allclose(feats[0, 3], np.mean(np.arange(10)), atol=1e-5)
+    np.testing.assert_allclose(feats, feats_ref, atol=1e-5)
+
+
+def test_voxelize_out_of_range_dropped(rng):
+    pts = np.array([[100.0, 0, 0, 1, 1], [0.5, 0.5, 0.5, 2, 2]], np.float32)
+    ids, feats, ids_ref, feats_ref = _run(pts)
+    assert len(ids) == 1
+    np.testing.assert_array_equal(ids, ids_ref)
+
+
+def test_voxelize_num_features_slice(rng):
+    pts = rng.uniform(-3, 3, size=(50, 5)).astype(np.float32)
+    pcr = (-4.0, -4.0, -2.0, 4.0, 4.0, 2.0)
+    out = voxelize(
+        jnp.asarray(pts), jnp.ones(50, bool), pcr, (1.0, 1.0, 1.0), (8, 8, 4),
+        max_voxels=64, num_features=4,
+    )
+    assert out.features.shape[1] == 4
