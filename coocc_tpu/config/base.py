@@ -187,6 +187,9 @@ class OccHeadConfig:
     loss_voxel_lovasz_weight: float = 1.0
     # static capacity of the coarse-occupied list at eval (train uses fine_topk)
     max_coarse_occupied: int = 20000
+    # geometry context the reference passes in at call time
+    point_cloud_range: Tuple[float, ...] = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    input_size: Tuple[int, int] = (256, 704)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,210 @@
+"""Foundation layers with torch-compatible semantics, channels-last layouts.
+
+Padding note: torch Conv2d/3d pads symmetrically and floors the output size;
+XLA 'SAME' distributes padding differently for even sizes under stride 2, so
+every conv here uses explicit (lo, hi) padding pairs — bit-parity with
+converted checkpoints depends on it.
+
+BatchNorm follows torch eps/momentum conventions (torch momentum m updates
+running <- (1-m)*running + m*batch; flax momentum is the decay 1-m).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _pad_tuple(padding, rank):
+    if isinstance(padding, int):
+        return [(padding, padding)] * rank
+    return [(p, p) if isinstance(p, int) else tuple(p) for p in padding]
+
+
+class Conv2d(nn.Module):
+    """torch-style Conv2d on [..., H, W, C]."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: Tuple[int, int] = (1, 1)
+    padding: Any = 0
+    dilation: Tuple[int, int] = (1, 1)
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding=_pad_tuple(self.padding, 2),
+            kernel_dilation=self.dilation,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Conv3d(nn.Module):
+    """torch-style Conv3d on [..., X, Y, Z, C] (any 3 trailing spatial dims)."""
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding=_pad_tuple(self.padding, 3),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose3d(nn.Module):
+    """torch-style ConvTranspose3d (deconv) used by SECOND3DFPN upsampling."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        # torch deconv output size = (n-1)*s + k with padding 0; flax
+        # ConvTranspose with padding 'VALID' matches.
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.stride,
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            transpose_kernel=True,
+            name="conv",
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """torch-compatible BatchNorm over the last axis (any leading layout).
+
+    In a pjit data-parallel step, pass axis_name to sync batch stats across
+    devices — the TPU-native SyncBN (reference converts BN->SyncBN,
+    tools/train.py:222-223); XLA turns it into a fused psum.
+    """
+    eps: float = 1e-5
+    momentum: float = 0.1
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over rows of a [A, C] padded sparse-feature matrix.
+
+    torch BatchNorm1d over spconv features normalizes across ACTIVE voxels
+    only; padding rows must not contaminate the statistics, so mean/var are
+    computed with the validity mask.
+    """
+    eps: float = 1e-5
+    momentum: float = 0.1
+    use_running_average: Optional[bool] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)[:, None]
+            n = jnp.maximum(m.sum(), 1.0)
+            if self.axis_name is not None:
+                import jax
+                n = jax.lax.psum(n, self.axis_name)
+                mean = jax.lax.psum((x * m).sum(0), self.axis_name) / n
+                var = jax.lax.psum(((x - mean) ** 2 * m).sum(0),
+                                   self.axis_name) / n
+            else:
+                mean = (x * m).sum(0) / n
+                var = ((x - mean) ** 2 * m).sum(0) / n
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value \
+                    + self.momentum * var * n / jnp.maximum(n - 1, 1.0)
+        y = (x - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        return y * mask[:, None]
+
+
+class GroupNorm(nn.Module):
+    """torch-compatible GroupNorm over the last axis."""
+    num_groups: int
+    eps: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype,
+            name="gn",
+        )(x)
+
+
+class Linear(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        dtype=self.dtype, name="linear")(x)
+
+
+def max_pool_2d(x, kernel=3, stride=2, padding=1):
+    """torch MaxPool2d on [..., H, W, C] (pads with -inf, floors output)."""
+    return nn.max_pool(
+        x, window_shape=(kernel, kernel), strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+    )
+
+
+def avg_pool_global_2d(x):
+    """AdaptiveAvgPool2d((1,1)) on [..., H, W, C] -> [..., 1, 1, C]."""
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)

@@ -1,0 +1,277 @@
+"""Occupancy head: multi-scale blend -> 17-class logits + cascade refinement.
+
+Capability parity with the reference OccHead (coocc/dense_heads/occ_head.py:
+16-379): per-level conv+norm+ReLU, softmax-weighted multi-scale blending at
+the finest level, 1x1x1 prediction stack, and the coarse-to-fine cascade that
+re-classifies the children of predicted-occupied coarse voxels with an MLP
+over trilinearly-sampled voxel features (+ projected multi-view image
+features).
+
+TPU redesign of the cascade: the dynamic occupied-voxel list becomes a fixed
+capacity of `n_fine` coarse cells chosen by top-k over (occupied, priority),
+where priority is random during training (the reference randperm-subsamples
+to fine_topk, coordinate_transform.py:3-21) and index-order at eval. All
+gathers/MLPs run at capacity with validity masks.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config.base import OccHeadConfig
+from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.interpolate import resize_trilinear_chlast
+from .layers import BatchNorm, Conv3d, GroupNorm, Linear
+
+
+class _OccConv(nn.Module):
+    mid: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv3d(self.mid, (3, 3, 3), (1, 1, 1), 1, use_bias=False,
+                   dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="bn")(x)
+        return nn.relu(x)
+
+
+def select_occupied(coarse_mask: jnp.ndarray, capacity: int,
+                    rng: Optional[jax.Array] = None):
+    """[X, Y, Z] bool -> ([capacity, 3] int32 coords, [capacity] bool valid).
+
+    Training (rng given): random subset of occupied cells (reference
+    randperm topk); eval: index order. Static shapes throughout.
+    """
+    X, Y, Z = coarse_mask.shape
+    flat = coarse_mask.reshape(-1)
+    n = flat.shape[0]
+    if rng is not None:
+        prio = jax.random.uniform(rng, (n,))
+    else:
+        prio = -jnp.arange(n, dtype=jnp.float32)
+    score = jnp.where(flat, prio, -jnp.inf)
+    _, idx = jax.lax.top_k(score, capacity)
+    valid = flat[idx]
+    z = idx % Z
+    y = (idx // Z) % Y
+    x = idx // (Z * Y)
+    coords = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+    return coords, valid
+
+
+def fine_coordinates(coarse_coords: jnp.ndarray, ratio: int) -> jnp.ndarray:
+    """[K, 3] coarse -> [K * ratio^3, 3] fine children."""
+    K = coarse_coords.shape[0]
+    r = jnp.arange(ratio)
+    cell = jnp.stack(jnp.meshgrid(r, r, r, indexing="ij"), axis=-1)
+    cell = cell.reshape(-1, 3)  # [r^3, 3]
+    fine = coarse_coords[:, None, :] * ratio + cell[None, :, :]
+    return fine.reshape(K * ratio ** 3, 3).astype(jnp.int32)
+
+
+def project_points_on_img(points, rots, trans, intrins, post_rots, post_trans,
+                          bda, pts_range, img_hw, occ_whd, data_type="nus"):
+    """Fine voxel coords -> normalized image uv per camera + validity mask.
+
+    Mirrors utils/coordinate_transform.py:25-66: voxel -> world via
+    (range / (size-1)) scaling, inverse BDA, cam projection, post-aug
+    homography, uv normalized to [-1, 1] over (W-1, H-1).
+
+    points: [P, 3] float fine coords; rots/trans/...: per-sample [N, ...].
+    Returns uv [N, P, 2], mask [N, P].
+    """
+    W_occ, H_occ, D_occ = occ_whd
+    H_img, W_img = img_hw
+    pr = jnp.asarray(pts_range, jnp.float32)
+    voxel_size = (pr[3:] - pr[:3]) / jnp.array(
+        [W_occ - 1, H_occ - 1, D_occ - 1], jnp.float32)
+    pts = points * voxel_size[None] + pr[:3][None]
+
+    inv_bda = jnp.linalg.inv(bda)
+    if inv_bda.shape[-1] == 4:
+        pts = jnp.einsum("ij,pj->pi", inv_bda[:3, :3], pts) + inv_bda[:3, 3]
+    else:
+        pts = jnp.einsum("ij,pj->pi", inv_bda, pts)
+
+    p = pts[None, :, :] - trans[:, None, :]  # [N, P, 3]
+    inv_rots = jnp.linalg.inv(rots)
+    p = jnp.einsum("nij,npj->npi", inv_rots, p)
+    if intrins.shape[-1] == 4:
+        ones = jnp.ones(p.shape[:-1] + (1,), p.dtype)
+        p = jnp.einsum("nij,npj->npi", intrins, jnp.concatenate([p, ones], -1))
+    else:
+        p = jnp.einsum("nij,npj->npi", intrins, p)
+    d = p[..., 2:3]
+    uv = p[..., :2] / (d + 1e-5)
+    uv = jnp.einsum("nij,npj->npi", post_rots[:, :2, :2], uv) \
+        + post_trans[:, None, :2]
+    u = (uv[..., 0] / (W_img - 1) - 0.5) * 2
+    v = (uv[..., 1] / (H_img - 1) - 0.5) * 2
+    mask = (d[..., 0] > 1e-5) & (u > -1) & (u < 1) & (v > -1) & (v < 1)
+    return jnp.stack([u, v], axis=-1), mask
+
+
+class OccHead(nn.Module):
+    cfg: OccHeadConfig
+    dtype: Any = None
+
+    def _coarse(self, voxel_feats, train):
+        cfg = self.cfg
+        mid = cfg.in_channels[0] // 2
+        outs = [
+            _OccConv(cfg.in_channels[i] // 2, dtype=self.dtype,
+                     name=f"occ_conv{i}")(voxel_feats[i], train)
+            for i in range(cfg.num_level)
+        ]
+        if cfg.soft_weights:
+            w = Conv3d(mid // 2, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
+                       dtype=self.dtype, name="soft_w_conv0")(outs[0])
+            w = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          name="soft_w_bn")(w)
+            w = nn.relu(w)
+            w = Conv3d(cfg.num_level, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
+                       dtype=self.dtype, name="soft_w_conv1")(w)
+            weights = nn.softmax(w, axis=-1)  # [B, X, Y, Z, L]
+        else:
+            weights = jnp.full(outs[0].shape[:-1] + (cfg.num_level,),
+                               1.0 / cfg.num_level, outs[0].dtype)
+
+        size = outs[0].shape[-4:-1]
+        blended = 0.0
+        for i, f in enumerate(outs):
+            if f.shape[-4:-1] != size:
+                f = resize_trilinear_chlast(f, size, align_corners=False)
+            blended = blended + f * weights[..., i:i + 1]
+
+        x = Conv3d(mid // 2, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
+                   dtype=self.dtype, name="pred_conv0")(blended)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="pred_bn")(x)
+        x = nn.relu(x)
+        logits = Conv3d(cfg.out_channel, (1, 1, 1), (1, 1, 1), 0,
+                        use_bias=False, dtype=self.dtype,
+                        name="pred_conv1")(x)
+        return blended, logits
+
+    @nn.compact
+    def __call__(self, voxel_feats, img_feats=None, transform=None,
+                 train: bool = False, fine_rng: Optional[jax.Array] = None):
+        """voxel_feats: list of [B, X, Y, Z, C]; img_feats: [B, N, fH, fW, C2].
+
+        Returns dict with 'occ' (coarse logits [B, X, Y, Z, out]), and when
+        cascade is on: 'fine_logits' [B, K*r^3, out], 'fine_coords'
+        [B, K*r^3, 3], 'fine_valid' [B, K*r^3].
+        """
+        cfg = self.cfg
+        blended, logits = self._coarse(voxel_feats, train)
+        out = {"occ": logits}
+        if cfg.cascade_ratio == 1 or not (cfg.sample_from_voxel
+                                          or cfg.sample_from_img):
+            return out
+
+        B = logits.shape[0]
+        ratio = cfg.cascade_ratio
+        cap = cfg.fine_topk if train else cfg.max_coarse_occupied
+        W_occ, H_occ, D_occ = cfg.final_occ_size
+
+        if cfg.sample_from_img and img_feats is not None:
+            Bi, Ni, fH, fW, Ci = img_feats.shape
+            imf = nn.Conv(128, (1, 1), name="img_mlp_0_conv")(
+                img_feats.reshape(Bi * Ni, fH, fW, Ci))
+            imf = GroupNorm(16, name="img_mlp_0_gn")(imf)
+            imf = nn.relu(imf).reshape(Bi, Ni, fH, fW, 128)
+        else:
+            imf = None
+
+        # instantiate shared submodules once; the per-sample loop below calls
+        # the same instances (linen shares their params across calls)
+        img_mlp_fc = Linear(64, dtype=self.dtype, name="img_mlp_fc")
+        img_mlp_gn = GroupNorm(16, name="img_mlp_gn")
+        fine_fc1 = Linear(64, dtype=self.dtype, name="fine_mlp_fc1")
+        fine_gn = GroupNorm(16, name="fine_mlp_gn")
+        fine_fc2 = Linear(cfg.out_channel, dtype=self.dtype,
+                          name="fine_mlp_fc2")
+
+        occ_mask = jnp.argmax(logits, axis=-1) != cfg.empty_idx  # [B, X, Y, Z]
+
+        def per_sample(args):
+            (mask_b, blended_b, imf_b, tr_b, rng_b) = args
+            coords, valid = select_occupied(mask_b, cap, rng_b)
+            fine = fine_coordinates(coords, ratio)  # [cap*r^3, 3]
+            fvalid = jnp.repeat(valid, ratio ** 3)
+            feats = []
+            if cfg.sample_from_voxel:
+                norm = (fine.astype(jnp.float32)
+                        / (jnp.array([W_occ, H_occ, D_occ], jnp.float32) - 1)
+                        - 0.5) * 2
+                # volume arranged [Z, Y, X, C]; grid (x, y, z) torch-style
+                vol = jnp.transpose(blended_b, (2, 1, 0, 3))
+                sampled = grid_sample_3d(vol, norm, align_corners=False,
+                                         padding_mode="zeros")
+                feats.append(sampled)
+            if cfg.sample_from_img and imf_b is not None:
+                rots, trans, intrins, post_rots, post_trans, bda = tr_b
+                uv, m = project_points_on_img(
+                    fine.astype(jnp.float32), rots, trans, intrins,
+                    post_rots, post_trans, bda,
+                    pts_range=cfg.point_cloud_range, img_hw=cfg.input_size,
+                    occ_whd=(W_occ, H_occ, D_occ),
+                    data_type=cfg.data_type)
+                s = jax.vmap(
+                    lambda img, g: grid_sample_2d(img, g, align_corners=True,
+                                                  padding_mode="zeros")
+                )(imf_b, uv)  # [N, P, 128]
+                s = (s * m[..., None]).sum(0)  # [P, 128]
+                s = nn.relu(img_mlp_gn(img_mlp_fc(s)))
+                feats.append(s)
+            x = jnp.concatenate(feats, axis=-1)
+            x = nn.relu(fine_gn(fine_fc1(x)))
+            x = fine_fc2(x)
+            return x, fine, fvalid
+
+        # vmap over batch with shared params: use nn.vmap-free manual loop
+        # (B is 1 per device in all shipped configs; loop keeps params shared)
+        fine_logits, fine_coords, fine_valids = [], [], []
+        for b in range(B):
+            rng_b = None if fine_rng is None else jax.random.fold_in(fine_rng, b)
+            tr_b = None if transform is None else tuple(t[b] for t in transform)
+            imf_b = None if imf is None else imf[b]
+            fl, fc, fv = per_sample((occ_mask[b], blended[b], imf_b, tr_b,
+                                     rng_b))
+            fine_logits.append(fl)
+            fine_coords.append(fc)
+            fine_valids.append(fv)
+        out["fine_logits"] = jnp.stack(fine_logits)
+        out["fine_coords"] = jnp.stack(fine_coords)
+        out["fine_valid"] = jnp.stack(fine_valids)
+        return out
+
+
+def forward_lidarseg(voxel_logits, points, points_mask, pc_range,
+                     align_corners=True, padding_mode="border"):
+    """Sample per-point class logits from the voxel prediction.
+
+    Capability parity with OccHead.forward_lidarseg (occ_head.py:339-379):
+    normalize point xyz into the grid, grid_sample the logits trilinearly
+    (border padding, align_corners=True), return [B, Q, C] logits.
+
+    voxel_logits: [B, X, Y, Z, C]; points: [B, Q, >=3]; points_mask: [B, Q].
+    """
+    pr = jnp.asarray(pc_range, jnp.float32)
+    lo = pr[:3]
+    extent = pr[3:] - lo
+
+    def one(logits_b, pts_b):
+        norm = (pts_b[:, :3] - lo) / extent * 2.0 - 1.0  # (x, y, z) in [-1,1]
+        # volume [Z, Y, X, C] with torch grid (x, y, z) convention
+        vol = jnp.transpose(logits_b, (2, 1, 0, 3))
+        return grid_sample_3d(vol, norm, align_corners=align_corners,
+                              padding_mode=padding_mode)
+
+    out = jax.vmap(one)(voxel_logits, points)
+    return out * points_mask[..., None]

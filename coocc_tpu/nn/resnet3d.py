@@ -1,0 +1,78 @@
+"""CustomResNet3D semantic voxel encoder (channels-last 3D convs).
+
+Capability parity with the reference backbone
+(coocc/backbones/resnet3d.py:106-205): 1x1x1 input projection, 4 stages of
+BasicBlock3D (depth 18: 2 blocks each) with strides (1, 2, 2, 2) and widths
+block_inplanes, multi-scale outputs. Dense conv3d maps straight onto the MXU
+(grids are 100x100x8 .. 13x13x1 for the r50 config).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+
+from .layers import BatchNorm, Conv3d
+
+RESNET3D_LAYERS = {10: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+
+
+class BasicBlock3D(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (self.stride,) * 3
+        out = Conv3d(self.planes, (3, 3, 3), s, 1, use_bias=False,
+                     dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn1")(out)
+        out = nn.relu(out)
+        out = Conv3d(self.planes, (3, 3, 3), (1, 1, 1), 1, use_bias=False,
+                     dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                        name="bn2")(out)
+        if self.has_downsample:
+            identity = Conv3d(self.planes, (1, 1, 1), s, 0, use_bias=False,
+                              dtype=self.dtype, name="downsample_conv")(x)
+            identity = BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype, name="downsample_bn")(identity)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class CustomResNet3D(nn.Module):
+    """[B, X, Y, Z, C] -> tuple of per-stage [B, X/s, Y/s, Z/s, C_i]."""
+    depth: int = 18
+    block_inplanes: Tuple[int, ...] = (128, 256, 512, 1024)
+    block_strides: Tuple[int, ...] = (1, 2, 2, 2)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layers = RESNET3D_LAYERS[self.depth]
+        x = Conv3d(self.block_inplanes[0], (1, 1, 1), (1, 1, 1), 0,
+                   use_bias=False, dtype=self.dtype, name="input_proj_conv")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="input_proj_bn")(x)
+        x = nn.relu(x)
+
+        outs = []
+        in_planes = self.block_inplanes[0]
+        for i, planes in enumerate(self.block_inplanes):
+            stride = self.block_strides[i]
+            for b in range(layers[i]):
+                s = stride if b == 0 else 1
+                needs_ds = (b == 0) and (s != 1 or in_planes != planes)
+                x = BasicBlock3D(planes=planes, stride=s,
+                                 has_downsample=needs_ds, dtype=self.dtype,
+                                 name=f"layer{i}_{b}")(x, train=train)
+                in_planes = planes
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -59,6 +59,25 @@ def _kernel_offsets(kernel_size: int) -> jnp.ndarray:
     return jnp.array(offs, jnp.int32)
 
 
+def _as3(v) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    return tuple(int(x) for x in v)
+
+
+def conv_output_shape(grid_size, kernel, stride, padding) -> Tuple[int, int, int]:
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    return tuple((int(g) + 2 * p[i] - k[i]) // s[i] + 1
+                 for i, g in enumerate(grid_size))
+
+
+def _kernel_taps(kernel) -> jnp.ndarray:
+    """[K3, 3] raw tap indices (0..k-1 per axis), x-major enumeration."""
+    k = _as3(kernel)
+    taps = list(itertools.product(range(k[0]), range(k[1]), range(k[2])))
+    return jnp.array(taps, jnp.int32)
+
+
 def lookup(ids: jnp.ndarray, queries: jnp.ndarray,
            queries_valid: jnp.ndarray) -> jnp.ndarray:
     """Find each query id's row in the sorted `ids`; invalid/missing -> A.
@@ -87,35 +106,45 @@ def build_subm_rulebook(sp: SparseTensor, grid_size,
 
 
 def downsample_sites(sp: SparseTensor, grid_size, out_grid_size,
-                     out_capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Active output sites of a k=3, s=2, p=1 sparse conv.
+                     out_capacity: int, kernel=3, stride=2,
+                     padding=1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Active output sites of a strided sparse conv (general k/s/p per axis).
 
-    Each active input (per-dim coordinate i) covers output j iff
-    2j-1 <= i <= 2j+1, i.e. j in {floor((i-1)/2) .. floor((i+1)/2)} —
-    at most 2 candidates per dim, 8 per voxel. Returns sorted unique output
-    ids under the static capacity (+ mask). Overflow drops the largest ids.
+    Output j reads inputs i = j*s + tap - p (tap in [0, k)), so an active
+    input i covers outputs j in [ceil((i + p - k + 1)/s), (i + p)//s] —
+    ceil(k/s) candidates per axis. Returns sorted unique output ids under
+    the static capacity (+ mask). Overflow drops the largest ids.
     """
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    ncand = [-(-k[i] // s[i]) for i in range(3)]  # ceil(k/s) per axis
+
     coords = delinearize(sp.ids, grid_size)  # [A, 3]
-    # For integer i >= 0: valid j are ceil((i-1)/2) and floor((i+1)/2).
-    j0 = coords // 2            # == ceil((i-1)/2) for i >= 0
-    j1 = (coords + 1) // 2      # == floor((i+1)/2)
-    cand = jnp.stack([j0, j1], axis=1)  # [A, 2, 3]
-
     ng_out = jnp.array([int(g) for g in out_grid_size], jnp.int32)
-    # All 8 combinations per voxel.
-    cx = cand[:, :, 0][:, :, None, None]
-    cy = cand[:, :, 1][:, None, :, None]
-    cz = cand[:, :, 2][:, None, None, :]
-    ccoords = jnp.stack([
-        jnp.broadcast_to(cx, cx.shape[:1] + (2, 2, 2)),
-        jnp.broadcast_to(cy, cy.shape[:1] + (2, 2, 2)),
-        jnp.broadcast_to(cz, cz.shape[:1] + (2, 2, 2)),
-    ], axis=-1).reshape(-1, 3)  # [A*8, 3]
 
-    inb = jnp.all((ccoords >= 0) & (ccoords < ng_out), axis=-1)
-    valid = inb & jnp.repeat(sp.mask, 8)
+    per_axis = []
+    for ax in range(3):
+        i = coords[:, ax]
+        num = i + p[ax] - k[ax] + 1
+        j_lo = -((-num) // s[ax])  # ceil(num / s)
+        j_hi = (i + p[ax]) // s[ax]
+        cand = j_lo[:, None] + jnp.arange(ncand[ax])[None, :]
+        ok = (cand <= j_hi[:, None]) & (cand >= 0) & (cand < ng_out[ax])
+        per_axis.append((cand, ok))
+
+    (cx, okx), (cy, oky), (cz, okz) = per_axis
+    A = coords.shape[0]
+    n0, n1, n2 = ncand
+    ccoords = jnp.stack([
+        jnp.broadcast_to(cx[:, :, None, None], (A, n0, n1, n2)),
+        jnp.broadcast_to(cy[:, None, :, None], (A, n0, n1, n2)),
+        jnp.broadcast_to(cz[:, None, None, :], (A, n0, n1, n2)),
+    ], axis=-1).reshape(-1, 3)
+    ok = (okx[:, :, None, None] & oky[:, None, :, None]
+          & okz[:, None, None, :]).reshape(-1)
+    valid = ok & jnp.repeat(sp.mask, n0 * n1 * n2)
     sentinel = num_cells(out_grid_size)
-    cids = jnp.where(valid, linearize(ccoords, out_grid_size), sentinel)
+    cids = jnp.where(valid, linearize(jnp.clip(ccoords, 0, None),
+                                      out_grid_size), sentinel)
 
     cids_sorted = jnp.sort(cids)
     is_first = jnp.concatenate(
@@ -133,14 +162,18 @@ def downsample_sites(sp: SparseTensor, grid_size, out_grid_size,
 
 
 def build_strided_rulebook(in_sp: SparseTensor, out_ids, out_mask, grid_size,
-                           out_grid_size, kernel_size: int = 3) -> jnp.ndarray:
-    """[A_out, K^3] rulebook for k=3, s=2, p=1: input coord = 2*out + off."""
-    offs = _kernel_offsets(kernel_size)
+                           out_grid_size, kernel=3, stride=2,
+                           padding=1) -> jnp.ndarray:
+    """[A_out, prod(k)] rulebook: input coord = out*s + tap - p per axis."""
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    taps = _kernel_taps(k)  # [K3, 3]
+    sv = jnp.array(s, jnp.int32)
+    pv = jnp.array(p, jnp.int32)
     ocoords = delinearize(out_ids, out_grid_size)
-    icoords = 2 * ocoords[:, None, :] + offs[None, :, :]
+    icoords = ocoords[:, None, :] * sv + taps[None, :, :] - pv
     ng = jnp.array([int(g) for g in grid_size], jnp.int32)
     inb = jnp.all((icoords >= 0) & (icoords < ng), axis=-1)
-    iids = linearize(icoords, grid_size)
+    iids = linearize(jnp.clip(icoords, 0, None), grid_size)
     valid = inb & out_mask[:, None]
     return lookup(in_sp.ids, jnp.where(valid, iids, num_cells(grid_size)), valid)
 

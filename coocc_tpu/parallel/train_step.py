@@ -1,0 +1,80 @@
+"""jit-compiled data-parallel train/eval steps.
+
+Replaces the reference's DDP + EpochBasedRunner iteration
+(apis/mmdet_train.py:95-199, mmcv OptimizerHook): one jitted function does
+forward, loss, grad, clip, AdamW update. Under a sharded batch the compiler
+inserts the gradient all-reduce (the NCCL allreduce equivalent) — nothing to
+hand-write. Eval steps return confusion matrices, which are summed on host
+across steps and psum'd across processes by virtue of being tiny arrays.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.base import CoOccConfig
+from ..evaluation.ssc_metrics import occupancy_hists
+from ..models.losses import compute_losses
+from .mesh import Mesh, NamedSharding, P
+
+
+def make_train_step(model, cfg: CoOccConfig, mesh=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": jax.random.fold_in(rng, 1)}
+        outs, mutated = model.apply(
+            variables, batch, train=True,
+            fine_rng=jax.random.fold_in(rng, 2), rngs=rngs,
+            mutable=["batch_stats"] if batch_stats is not None else [])
+        losses = compute_losses(outs, batch, cfg)
+        total = sum(v for k, v in losses.items() if k.startswith("loss"))
+        return total, (losses, mutated.get("batch_stats"))
+
+    def train_step(state, batch, rng):
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        if new_bs is not None:
+            state = state.replace(batch_stats=new_bs)
+        metrics = {"loss_total": total, **losses}
+        return state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, NamedSharding(mesh, P("data")), repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: CoOccConfig, mesh=None):
+    """Returns eval_step(variables, batch) -> dict of hists + logits."""
+
+    def eval_step(variables, batch):
+        outs = model.apply(variables, batch, train=False)
+        sc, ssc = occupancy_hists(outs["occ"], batch.gt_occ,
+                                  cfg.num_classes, cfg.empty_idx)
+        res = {"SC_hist": sc, "SSC_hist": ssc, "occ_logits": outs["occ"]}
+        if "fine_logits" in outs:
+            res["fine_logits"] = outs["fine_logits"]
+            res["fine_coords"] = outs["fine_coords"]
+            res["fine_valid"] = outs["fine_valid"]
+        return res
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            eval_step,
+            in_shardings=(repl, NamedSharding(mesh, P("data"))),
+        )
+    return jax.jit(eval_step)

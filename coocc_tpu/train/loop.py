@@ -1,0 +1,104 @@
+"""Epoch-based training loop with per-epoch eval and save-best.
+
+Capability parity with the reference runner stack (custom_train_detector,
+apis/mmdet_train.py:29-199 + mmcv EpochBasedRunner + OccDistEvalHook,
+eval_hooks.py:27-87): iterate epochs, step the jitted train function, log
+losses every `log_interval`, evaluate each epoch, checkpoint with
+save_best='SSC_mIoU'. Data parallelism and gradient reduction live inside
+the jitted step (parallel/train_step.py) — no DDP wrapper.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config.base import CoOccConfig
+from ..evaluation.ssc_metrics import ssc_summary
+from ..parallel.mesh import shard_batch
+from ..parallel.train_step import make_eval_step, make_train_step
+from .checkpoint import CheckpointManager
+from .state import TrainState, create_train_state
+
+log = logging.getLogger("coocc_tpu")
+
+
+def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
+             mesh=None, max_steps: Optional[int] = None) -> Dict[str, float]:
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
+    sc = np.zeros((2, 2), np.int64)
+    ssc = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+    n = 0
+    for batch in data_iter:
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        out = eval_step(variables, batch)
+        sc += np.asarray(out["SC_hist"])
+        ssc += np.asarray(out["SSC_hist"])
+        n += 1
+        if max_steps is not None and n >= max_steps:
+            break
+    return ssc_summary(sc, ssc)
+
+
+def train(model, cfg: CoOccConfig, train_iter_fn: Callable[[], Iterable],
+          val_iter_fn: Optional[Callable[[], Iterable]] = None,
+          steps_per_epoch: int = 1000, work_dir: str = "work_dirs/run",
+          mesh=None, resume: bool = False, seed: int = 0,
+          log_interval: int = 50,
+          eval_max_steps: Optional[int] = None) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    sample = next(iter(train_iter_fn()))
+    init_rngs = {"params": jax.random.fold_in(rng, 0),
+                 "dropout": jax.random.fold_in(rng, 1)}
+    from ..utils.init_utils import jit_init
+    variables = jit_init(model, init_rngs, sample, train=True,
+                         fine_rng=jax.random.fold_in(rng, 2))
+    state = create_train_state(model, variables, cfg.optim, steps_per_epoch)
+
+    ckpt = CheckpointManager(work_dir, max_keep=1)
+    start_epoch = 0
+    if resume:
+        tree, epoch = ckpt.restore(target={"state": state, "epoch": 0})
+        if tree is not None:
+            state = tree["state"]
+            start_epoch = tree["epoch"] + 1
+            log.info("resumed from epoch %d", epoch)
+
+    step_fn = make_train_step(model, cfg, mesh=mesh)
+
+    for epoch in range(start_epoch, cfg.optim.max_epochs):
+        t0 = time.time()
+        running: Dict[str, float] = {}
+        for i, batch in enumerate(train_iter_fn()):
+            if i >= steps_per_epoch:
+                break
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            if (i + 1) % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                log.info("epoch %d iter %d: %s", epoch, i + 1,
+                         {k: round(v, 4) for k, v in m.items()})
+            running = {k: running.get(k, 0.0) + float(v)
+                       for k, v in metrics.items()}
+
+        log.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+
+        metrics_out = None
+        if val_iter_fn is not None:
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            metrics_out = evaluate(model, variables, cfg, val_iter_fn(),
+                                   mesh=mesh, max_steps=eval_max_steps)
+            log.info("epoch %d eval: SC IoU %.4f SSC mIoU %.4f", epoch,
+                     metrics_out["SC_IoU"], metrics_out["SSC_mIoU"])
+
+        ckpt.save({"state": jax.device_get(state), "epoch": epoch},
+                  epoch, metrics=metrics_out)
+    return state

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Flag surface mirrors the reference tools/test.py:29-115 (config, checkpoint,
+--eval, --show-dir analog) adapted to named dataclass configs. --synthetic
+evaluates on generated data (sanity/bench); with a data root it runs the
+nuScenes occupancy eval and prints the SC/SSC tables.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a Co-Occ TPU model")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="work dir containing orbax checkpoints, or a "
+                   "converted .pth tree; random init if omitted")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data-root", default="data/nuscenes")
+    p.add_argument("--ann-file", default="data/nuscenes_infos_temporal_val.pkl")
+    p.add_argument("--occ-path", default="data/nuscenes_occ")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from coocc_tpu.config import get_config
+    from coocc_tpu.config.nuscenes import NUSC_CLASS_NAMES
+    from coocc_tpu.data.synthetic import synthetic_batch, tiny_config
+    from coocc_tpu.models.coocc_ray import CoOccRay
+    from coocc_tpu.parallel.mesh import make_mesh
+    from coocc_tpu.train.checkpoint import CheckpointManager
+    from coocc_tpu.train.loop import evaluate
+    from coocc_tpu.evaluation.formatting import print_ssc_table
+
+    cfg = tiny_config() if args.config == "tiny" else get_config(args.config)
+    mesh = make_mesh(args.devices)
+    n_dev = mesh.devices.size
+    model = CoOccRay(cfg=cfg)
+
+    def to_dev(b):
+        return jax.tree.map(
+            lambda x: None if x is None else jnp.asarray(x), b,
+            is_leaf=lambda x: x is None)
+
+    if args.synthetic:
+        def val_iter():
+            for i in range(args.max_steps or 2):
+                yield to_dev(synthetic_batch(cfg, batch_size=n_dev,
+                                             seed=2000 + i))
+    else:
+        from coocc_tpu.data.nuscenes_dataset import build_loaders
+        _, val_iter, _ = build_loaders(
+            cfg, args.data_root, args.ann_file, args.ann_file,
+            args.occ_path, batch_size=n_dev)
+
+    sample = next(iter(val_iter()))
+    if args.checkpoint:
+        if args.checkpoint.endswith(".pth"):
+            from coocc_tpu.train.convert_torch import load_torch_checkpoint
+            variables = load_torch_checkpoint(args.checkpoint, model, sample)
+        else:
+            ckpt = CheckpointManager(args.checkpoint)
+            tree, _ = ckpt.restore()
+            state = tree["state"]
+            variables = {"params": state["params"]}
+            if state.get("batch_stats") is not None:
+                variables["batch_stats"] = state["batch_stats"]
+    else:
+        from coocc_tpu.utils.init_utils import jit_init
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, sample,
+                             train=False)
+
+    metrics = evaluate(model, variables, cfg, val_iter(), mesh=mesh,
+                       max_steps=args.max_steps)
+    print_ssc_table(metrics, NUSC_CLASS_NAMES)
+
+
+if __name__ == "__main__":
+    main()
