@@ -129,6 +129,51 @@ def coocc_cam_r101_896x1600() -> CoOccConfig:
 
 
 @register
+def coocc_kitti() -> CoOccConfig:
+    """SemanticKITTI stereo-camera occupancy (capability-envelope config).
+
+    The reference ships SemanticKITTI support (dataset
+    semantic_kitti_lss_dataset.py, head variant occ_head_kitti.py — 20
+    classes, 2-camera projection, 3x4 intrinsics) without a committed config;
+    this config exercises that surface. Grid 256x256x32 @ 0.2 m over
+    x [0, 51.2], y [-25.6, 25.6], z [-2, 4.4] (SemanticKITTI convention).
+    """
+    pc_range = (0.0, -25.6, -2.0, 51.2, 25.6, 4.4)
+    occ_size = (256, 256, 32)
+    lss_ds = (2, 2, 2)
+    return CoOccConfig(
+        name="coocc_kitti",
+        model_type="COOCC_Ray",
+        num_classes=20,
+        point_cloud_range=pc_range,
+        occ_size=occ_size,
+        lss_downsample=lss_ds,
+        scale=16,
+        data=DataConfig(input_size=(384, 1280),
+                        cams=("CAM_LEFT",), src_size=(376, 1241)),
+        grid=_grid(pc_range, occ_size, lss_ds),
+        img_backbone=ImageBackboneConfig(depth=50),
+        img_neck=ImageNeckConfig(),
+        # 3x4 KITTI intrinsics -> 30-d camera conditioning vector
+        lss=LSSConfig(downsample=16, cam_channels=30),
+        pts=PtsBranchConfig(
+            voxel_size=(0.1, 0.1, 0.1),
+            sparse_shape_xyz=(512, 512, 64),
+        ),
+        fuser=FuserConfig(knum=2),
+        semantic=SemanticEncoderConfig(),
+        occ_head=OccHeadConfig(
+            out_channel=20, cascade_ratio=2, sample_from_voxel=True,
+            sample_from_img=True, final_occ_size=occ_size, fine_topk=15000,
+            data_type="kitti", point_cloud_range=pc_range,
+            input_size=(384, 1280),
+        ),
+        render=RenderConfig(N_samples=64, N_rand=2048,
+                            near_far_range=(0.2, 50.0)),
+    )
+
+
+@register
 def coocc_lidar() -> CoOccConfig:
     pc_range = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
     occ_size = (200, 200, 16)

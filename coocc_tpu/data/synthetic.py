@@ -158,4 +158,15 @@ def synthetic_batch(cfg: CoOccConfig, batch_size: int = 1, seed: int = 0):
     gt = np.where(rng.rand(B, X, Y, Z) < 0.7, 0, gt)  # mostly free
     gt = np.where(rng.rand(B, X, Y, Z) < 0.02, 255, gt)  # some ignore
     kw["gt_occ"] = gt.astype(np.int32)
+
+    # lidarseg points: (x, y, z, label)
+    Q = 2048
+    pcr = cfg.point_cloud_range
+    po = np.zeros((B, Q, 4), np.float32)
+    po[..., 0] = rng.uniform(pcr[0], pcr[3], (B, Q))
+    po[..., 1] = rng.uniform(pcr[1], pcr[4], (B, Q))
+    po[..., 2] = rng.uniform(pcr[2], pcr[5], (B, Q))
+    po[..., 3] = rng.randint(1, cfg.num_classes, (B, Q))
+    kw["points_occ"] = po
+    kw["points_occ_mask"] = np.ones((B, Q), bool)
     return Batch(**kw)

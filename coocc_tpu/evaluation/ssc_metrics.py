@@ -58,7 +58,7 @@ def occupancy_hists(logits: jnp.ndarray, gt_occ: jnp.ndarray,
     return sc, ssc
 
 
-def scatter_fine_into_pred(pred_coarse_logits, fine_logits, fine_coords,
+def scatter_fine_into_pred(fine_logits, fine_coords,
                            fine_valid, final_size, empty_idx=0):
     """Densify the cascade's fine logits into a full-resolution class grid.
 

@@ -69,6 +69,17 @@ def make_eval_step(model, cfg: CoOccConfig, mesh=None):
             res["fine_logits"] = outs["fine_logits"]
             res["fine_coords"] = outs["fine_coords"]
             res["fine_valid"] = outs["fine_valid"]
+        if batch.points_occ is not None:
+            # lidarseg readout + confusion matrix
+            # (reference: occ_head.py:339-379, coocc_ray.py:556-560)
+            from ..evaluation.ssc_metrics import lidarseg_hist
+            from ..nn.occ_head import forward_lidarseg
+            pl = forward_lidarseg(outs["occ"], batch.points_occ,
+                                  batch.points_occ_mask,
+                                  cfg.point_cloud_range)
+            labels = batch.points_occ[..., -1].astype(jnp.int32)
+            res["lidarseg_hist"] = lidarseg_hist(
+                pl, labels, batch.points_occ_mask, cfg.num_classes)
         return res
 
     if mesh is not None:

@@ -84,7 +84,7 @@ def test_all_configs_build():
     for name in list_configs():
         cfg = get_config(name)
         assert cfg.name == name
-        assert cfg.occ_size[0] in (200, 512)
+        assert cfg.occ_size[0] in (200, 256, 512)
         if cfg.lss is not None:
             gs = cfg.lss_grid_size
             assert gs == tuple(np.asarray(
