@@ -120,6 +120,9 @@ class PtsBranchConfig:
     max_points: int = 350000            # static capacity for the padded point cloud
     num_point_features: int = 5         # x, y, z, intensity, dt
     encoder: str = "SparseLiDAREnc8x"   # | 'SparseLiDAREnc4x' | 'SparseEncoderHD'
+    # 'dense' = masked dense conv3d (TPU fast path), 'gather' = gather-GEMM
+    # sparse engine (same params; see nn/sparse_enc_dense.py)
+    impl: str = "dense"
     input_channel: int = 4
     base_channel: int = 16
     out_channel: int = 128

@@ -129,6 +129,14 @@ class CoOccRay(nn.Module):
                     dtype=self.dtype, name="pts_neck",
                 )(feats, train=train)
                 dense = jnp.transpose(out, (0, 3, 2, 1, 4))
+        elif pts.impl == "dense" and pts.encoder == "SparseLiDAREnc8x":
+            from ..nn.sparse_enc_dense import DenseLiDAREnc8x
+            dense = DenseLiDAREnc8x(
+                input_channel=pts.input_channel, base_channel=pts.base_channel,
+                out_channel=pts.out_channel,
+                sparse_shape_xyz=pts.sparse_shape_xyz,
+                capacity=max_vox, name="pts_middle_encoder",
+            )(sp, train=train)
         else:
             enc_cls = {"SparseLiDAREnc8x": SparseLiDAREnc8x,
                        "SparseLiDAREnc4x": SparseLiDAREnc4x}[pts.encoder]

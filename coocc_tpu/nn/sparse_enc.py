@@ -120,7 +120,12 @@ class _GNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, sp: SparseTensor):
-        f = GroupNorm(self.groups, name="gn")(sp.features)
+        # torch GroupNorm on [N_active, C] normalizes each voxel over its own
+        # channel groups; flatten so flax doesn't reduce over the row axis
+        B, A, C = sp.features.shape
+        f = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="gn")(sp.features.reshape(B * A, C))
+        f = f.reshape(B, A, C)
         f = nn.relu(f) * sp.mask[..., None]
         return SparseTensor(sp.ids, f, sp.mask)
 

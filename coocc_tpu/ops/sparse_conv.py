@@ -6,10 +6,11 @@ pure-XLA design:
 
   * A sparse tensor is a fixed-capacity list of sorted linear voxel ids +
     a [A, C] feature matrix + a validity mask (`SparseTensor`).
-  * A "rulebook" [A, K^3] maps每 (site, kernel-offset) -> input row (or a
-    dummy row A), built once per indice_key with vectorized binary search
-    (jnp.searchsorted) over the sorted id list — the XLA analog of spconv's
-    indice-pair build, no atomics, reused across layers sharing the key.
+  * A "rulebook" [A, K^3] maps each (site, kernel-offset) -> input row (or a
+    dummy row A), built once per indice_key — the XLA analog of spconv's
+    indice-pair build — via a dense cell-id -> row LUT (one scatter + one
+    gather; a binary-search variant exists as fallback), reused across
+    layers sharing the key.
   * The conv itself is ONE MXU matmul per layer: gather neighbors to
     [A, K^3 * Cin] and multiply by the [K^3 * Cin, Cout] reshaped weight —
     exactly spconv's gather-GEMM-scatter collapsed into a dense GEMM over
@@ -27,7 +28,7 @@ layouts into this).
 from __future__ import annotations
 
 import itertools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,14 +79,43 @@ def _kernel_taps(kernel) -> jnp.ndarray:
     return jnp.array(taps, jnp.int32)
 
 
-def lookup(ids: jnp.ndarray, queries: jnp.ndarray,
-           queries_valid: jnp.ndarray) -> jnp.ndarray:
-    """Find each query id's row in the sorted `ids`; invalid/missing -> A.
+# grids with more cells than this use binary search instead of a dense LUT
+_LUT_MAX_CELLS = 4_000_000
 
-    ids: [A] sorted (padding rows hold a sentinel larger than any valid id).
-    queries: [...] int32. Returns [...] int32 in [0, A].
+
+def make_lut(ids: jnp.ndarray, mask: jnp.ndarray, n_cells: int) -> jnp.ndarray:
+    """Dense cell-id -> row lookup table ([n_cells + 1] int32, missing -> A).
+
+    One scatter builds it; every subsequent rulebook lookup is a single
+    gather. (A binary-search lookup generated ~50x more code and modeled
+    memory traffic on TPU — the dense LUT costs n_cells*4 bytes once per
+    level and is reused by all layers sharing the level.)
     """
     A = ids.shape[0]
+    lut = jnp.full((n_cells + 1,), A, jnp.int32)
+    safe_ids = jnp.where(mask, ids, n_cells)
+    return lut.at[safe_ids].set(jnp.arange(A, dtype=jnp.int32), mode="drop")
+
+
+def lookup(ids: jnp.ndarray, queries: jnp.ndarray,
+           queries_valid: jnp.ndarray,
+           lut: Optional[jnp.ndarray] = None,
+           n_cells: Optional[int] = None,
+           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Find each query id's row among `ids`; invalid/missing -> A.
+
+    With a dense LUT (preferred): one gather. Fallback: binary search over
+    the sorted ids.
+    """
+    A = ids.shape[0]
+    if lut is None and n_cells is not None:
+        if mask is None:
+            mask = ids < n_cells
+        lut = make_lut(ids, mask, n_cells)
+    if lut is not None:
+        nc = lut.shape[0] - 1
+        q = jnp.where(queries_valid, queries, nc)
+        return lut[jnp.clip(q, 0, nc)]
     pos = jnp.searchsorted(ids, queries, side="left")
     pos_c = jnp.minimum(pos, A - 1)
     found = (ids[pos_c] == queries) & queries_valid & (pos < A)
@@ -102,7 +132,14 @@ def build_subm_rulebook(sp: SparseTensor, grid_size,
     inb = jnp.all((ncoords >= 0) & (ncoords < ng), axis=-1)
     nids = linearize(ncoords, grid_size)
     valid = inb & sp.mask[:, None]
-    return lookup(sp.ids, jnp.where(valid, nids, num_cells(grid_size)), valid)
+    nc = num_cells(grid_size)
+    # dense LUT only for small grids: a gather from a large operand costs
+    # ~operand_size x (queries/8K) on TPU, so for big grids binary search
+    # over the [A] sorted ids is far cheaper
+    if nc <= _LUT_MAX_CELLS:
+        return lookup(sp.ids, jnp.where(valid, nids, nc), valid,
+                      n_cells=nc, mask=sp.mask)
+    return lookup(sp.ids, jnp.where(valid, nids, nc), valid)
 
 
 def downsample_sites(sp: SparseTensor, grid_size, out_grid_size,
@@ -175,7 +212,11 @@ def build_strided_rulebook(in_sp: SparseTensor, out_ids, out_mask, grid_size,
     inb = jnp.all((icoords >= 0) & (icoords < ng), axis=-1)
     iids = linearize(jnp.clip(icoords, 0, None), grid_size)
     valid = inb & out_mask[:, None]
-    return lookup(in_sp.ids, jnp.where(valid, iids, num_cells(grid_size)), valid)
+    nc = num_cells(grid_size)
+    if nc <= _LUT_MAX_CELLS:
+        return lookup(in_sp.ids, jnp.where(valid, iids, nc), valid,
+                      n_cells=nc, mask=in_sp.mask)
+    return lookup(in_sp.ids, jnp.where(valid, iids, nc), valid)
 
 
 def apply_conv(features: jnp.ndarray, mask: jnp.ndarray, rulebook: jnp.ndarray,

@@ -53,13 +53,17 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
 
     Returns: [X, Y, Z, k] int32 linear cell index of each neighbour
       (-1 where fewer than k actives fall inside the window).
+
+    Vectorized as k argmax reductions over the offset axis: offsets are
+    pre-sorted by distance, so "first active offset" == nearest neighbour.
+    No scan — ~k passes over the [O, X*Y*Z] shifted-activity tensor.
     """
     X, Y, Z = key_mask.shape
     O = offsets.shape[0]
     rx, ry, rz = [int(np.abs(offsets[:, i]).max()) for i in range(3)]
 
     padded = jnp.pad(key_mask, ((rx, rx), (ry, ry), (rz, rz)))
-    pX, pY, pZ = X + 2 * rx, Y + 2 * ry, Z + 2 * rz
+    pY, pZ = Y + 2 * ry, Z + 2 * rz
 
     # flat index of every cell in the padded layout
     cx = jnp.arange(X)[:, None, None] + rx
@@ -70,28 +74,25 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
         (offsets[:, 0] * pY + offsets[:, 1]) * pZ + offsets[:, 2])
 
     padded_flat = padded.reshape(-1)
-    # shifted activity per offset: [O, X, Y, Z]
-    shifted = padded_flat[base[None] + off_flat[:, None, None, None]]
+    n = X * Y * Z
+    # shifted activity per offset: [O, n]
+    shifted = padded_flat[base.reshape(1, n) + off_flat[:, None]]
 
-    # neighbour's absolute linear index in the UNPADDED grid, per offset
-    offs_j = jnp.asarray(offsets)
+    # neighbour linear id = cell id + per-offset delta (out-of-range offsets
+    # are never active in `padded`, so wraparound ids are never selected)
+    delta = jnp.asarray(
+        (offsets[:, 0] * Y + offsets[:, 1]) * Z + offsets[:, 2]
+    ).astype(jnp.int32)  # [O]
+    cell_id = jnp.arange(n, dtype=jnp.int32)
 
-    def step(carry, inp):
-        cnt, idxs = carry
-        act, off = inp
-        tgt = (
-            (jnp.arange(X)[:, None, None] + off[0]) * Y
-            + (jnp.arange(Y)[None, :, None] + off[1])
-        ) * Z + (jnp.arange(Z)[None, None, :] + off[2])
-        new_idxs = []
-        for slot in range(k):
-            take = act & (cnt == slot)
-            new_idxs.append(jnp.where(take, tgt, idxs[..., slot]))
-        idxs = jnp.stack(new_idxs, axis=-1)
-        cnt = cnt + act.astype(cnt.dtype)
-        return (cnt, idxs), None
-
-    cnt0 = jnp.zeros((X, Y, Z), jnp.int32)
-    idx0 = jnp.full((X, Y, Z, k), -1, jnp.int32)
-    (cnt, idxs), _ = jax.lax.scan(step, (cnt0, idx0), (shifted, offs_j))
-    return idxs
+    idxs = []
+    act = shifted
+    for _ in range(k):
+        first = jnp.argmax(act, axis=0)               # first True offset
+        has = jnp.any(act, axis=0)
+        nb = cell_id + delta[first]                    # tiny-table gather
+        idxs.append(jnp.where(has, nb, -1))
+        # mask out the selected offset for the next round
+        act = act & (jax.lax.broadcasted_iota(jnp.int32, act.shape, 0)
+                     != first[None])
+    return jnp.stack(idxs, axis=-1).reshape(X, Y, Z, k)
