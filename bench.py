@@ -46,7 +46,7 @@ def main():
     # on this 1-core host and the remote compile helper OOMs on chained
     # (scan/fori) variants, so the bench times a single batched forward with
     # scalar readback and subtracts the measured relay round-trip.
-    B = int(os.environ.get("BENCH_BATCH", "2"))
+    B = int(os.environ.get("BENCH_BATCH", "1"))
     reps = int(os.environ.get("BENCH_ITERS", "5"))
     batch = to_dev(synthetic_batch(cfg, batch_size=B, seed=0))
 

@@ -46,13 +46,27 @@ def _dense_conv3d(x, weight, stride=(1, 1, 1), padding=(1, 1, 1), k=3):
 
 
 def _dilate_mask(mask, kernel=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)):
-    """Strided sparse conv's output-site mask: any active input in field."""
-    return jax.lax.reduce_window(
-        mask.astype(jnp.float32), 0.0, jax.lax.max,
-        window_dimensions=(1,) + tuple(kernel),
-        window_strides=(1,) + tuple(stride),
-        padding=((0, 0),) + tuple((p, p) for p in padding),
-    ) > 0
+    """Strided sparse conv's output-site mask: any active input in field.
+
+    Separable boolean max over shifted slices (reduce_window on a full-res
+    f32 mask provokes pathological tiled layouts — a 20 GB allocation for a
+    [2,800,800,64] convert was observed)."""
+    out = mask
+    for ax, (k, p) in enumerate(zip(kernel, padding)):
+        axis = 1 + ax
+        r = k // 2
+        padded = jnp.pad(out, [(0, 0) if a != axis else (p, p)
+                               for a in range(out.ndim)])
+        n = mask.shape[axis]
+        acc = None
+        for off in range(k):
+            # window tap at offset off reads padded[off : off + n_out_prestride]
+            sl = jax.lax.slice_in_dim(padded, off, off + n + 2 * p - (k - 1),
+                                      axis=axis)
+            acc = sl if acc is None else (acc | sl)
+        out = acc
+    s = (1,) + tuple(stride)
+    return out[tuple(slice(None, None, st) for st in s)]
 
 
 class PerRowGroupNorm(nn.Module):
@@ -182,14 +196,11 @@ def _dense_mask(sp: SparseTensor, grid):
 
 
 class DenseLiDAREnc8x(nn.Module):
-    """Dense/hybrid twin of SparseLiDAREnc8x — same params, TPU-fast compute.
+    """Dense twin of SparseLiDAREnc8x — same params, TPU-fast compute.
 
-    Level 0 (full-resolution grid, e.g. 800x800x64) runs in the gather-GEMM
-    sparse engine: its channel counts are tiny, so row gathers from the
-    small [A, C] operands are cheap, while a dense stem at full resolution
-    blows HBM (measured 17.7 G > 15.75 G). After the first stride-2 conv the
-    grid is 8x smaller; everything from level 1 on runs as masked dense
-    conv3d on the MXU.
+    Level 0 collapses analytically (the degenerate stem GroupNorm reduces
+    down1 to a 27-tap mask matmul — see the inline comment); levels 1-3 run
+    as masked dense conv3d on the MXU.
 
     Input: batched SparseTensor (from ops.voxelize). Output:
     [B, X/8, Y/8, Z/8, out_channel] dense features.
@@ -201,59 +212,57 @@ class DenseLiDAREnc8x(nn.Module):
     capacity: int = 90000
     compute_dtype: Any = jnp.float32
 
-    z_chunks: int = 4
-
     @nn.compact
     def __call__(self, sp: SparseTensor, train: bool = False):
         b = self.base_channel
         g0 = self.sparse_shape_xyz
         g1 = tuple(s // 2 for s in g0)
 
-        dense0 = jax.vmap(partial(to_dense, grid_size=g0))(sp)
-        dense0 = dense0.astype(self.compute_dtype)
+        # NOTE: the voxel FEATURES are never read — the degenerate stem GN
+        # (see below) erases them in the reference architecture too; only
+        # the occupancy mask matters.
         mask0 = _dense_mask(sp, g0)
 
-        # --- level 0: stem SubM + gn + down1 conv, z-chunked with halos so
-        # the full-res 16-channel stem activation never materializes at once
-        # (the unchunked version overflows HBM by ~2 GB at the r50 shapes)
+        # --- level 0 collapses analytically. The stem is SubM conv ->
+        # GroupNorm(16, base=16) -> ReLU; with one channel per group the GN
+        # normalizes every value to zero, so the stem output is EXACTLY
+        # relu(gn_bias) at active cells — in the reference's torch graph as
+        # well (GroupNorm(16, 16) over [N_active, C] rows,
+        # sparse_lidar_enc.py:139-142). The stem conv is annihilated (zero
+        # gradient in both frameworks), and down1 over a channel-constant
+        # masked field reduces to a 27-tap matmul of strided MASK planes
+        # with w_eff[tap, co] = sum_ci W_down1[tap, ci, co] * relu(bias)_ci.
+        assert b == 16, "level-0 collapse assumes GroupNorm(16, base=16)"
         w_stem = _WeightHolder((27, self.input_channel, b),
-                               name="conv_input")()
+                               name="conv_input")()  # kept for ckpt parity
+        del w_stem
         gn_mod = _PerCellGN(16, name="gn_input")
+        stem_const = nn.relu(gn_mod(jnp.zeros((1, b), self.compute_dtype),
+                                    jnp.ones((1,), bool))[0])  # = relu(bias)
         down1 = _StridedParams(b, b * 2, name="down1")
+        wd = down1("weight")  # [27, b, 2b]
+        w_eff = jnp.einsum("kio,i->ko", wd.astype(jnp.float32),
+                           stem_const.astype(jnp.float32))  # [27, 2b]
 
-        Z = g0[2]
-        nchunks = self.z_chunks
-        assert Z % (2 * nchunks) == 0, (Z, nchunks)
-        cz = Z // nchunks            # input-z per chunk at full res
-        xpad = jnp.pad(dense0, ((0, 0), (1, 1), (1, 1), (2, 2), (0, 0)))
-        mpad = jnp.pad(mask0, ((0, 0), (1, 1), (1, 1), (2, 2)))
-        ws = w_stem.reshape(3, 3, 3, self.input_channel, b)
-        wd = down1("weight").reshape(3, 3, 3, b, b * 2)
-
-        down1_chunks = []
-        for c in range(nchunks):
-            z0 = c * cz
-            # stem needs input z [z0-2, z0+cz+1] (padded offset z0 -> z0-2)
-            xs = jax.lax.dynamic_slice_in_dim(xpad, z0, cz + 4, axis=3)
-            ms = jax.lax.dynamic_slice_in_dim(mpad, z0, cz + 4, axis=3)
-            # stem conv: VALID in z (halo consumed), x/y consumed from pad
-            y = jax.lax.conv_general_dilated(
-                xs, ws.astype(xs.dtype), window_strides=(1, 1, 1),
-                padding=[(0, 0), (0, 0), (0, 0)],
-                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-                preferred_element_type=jnp.float32).astype(xs.dtype)
-            # y: x/y full size, z covers [z0-1, z0+cz] (cz+2 values)
-            m_y = ms[:, 1:-1, 1:-1, 1:-1]
-            y = gn_mod(y, m_y)
-            y = nn.relu(y) * m_y[..., None]
-            # down1: stride 2; z VALID over the halo'd stem slab
-            dchunk = jax.lax.conv_general_dilated(
-                y, wd.astype(y.dtype), window_strides=(2, 2, 2),
-                padding=[(1, 1), (1, 1), (0, 0)],
-                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-                preferred_element_type=jnp.float32).astype(y.dtype)
-            down1_chunks.append(dchunk)
-        d = jnp.concatenate(down1_chunks, axis=3)
+        # strided mask planes: plane_k[o] = mask0[2*o + tap_k - 1]
+        mpad = jnp.pad(mask0, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        g1_shape = g1
+        planes = []
+        for kx in range(3):
+            for ky in range(3):
+                for kz in range(3):
+                    planes.append(jax.lax.slice(
+                        mpad,
+                        (0, kx, ky, kz),
+                        (mpad.shape[0], kx + 2 * g1_shape[0] - 1,
+                         ky + 2 * g1_shape[1] - 1, kz + 2 * g1_shape[2] - 1),
+                        (1, 2, 2, 2)))
+        planes = jnp.stack(planes, axis=-1).astype(self.compute_dtype)
+        # [B, X/2, Y/2, Z/2, 27] @ [27, 2b]
+        d = jnp.einsum("bxyzk,ko->bxyzo", planes,
+                       w_eff.astype(self.compute_dtype),
+                       preferred_element_type=jnp.float32)
+        d = d.astype(self.compute_dtype)
 
         mask = _dilate_mask(mask0, (3, 3, 3), (2, 2, 2), (1, 1, 1))
         d = d * mask[..., None]

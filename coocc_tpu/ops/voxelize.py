@@ -102,18 +102,23 @@ def voxelize(
     feats_sorted = points[order, :num_features]
     valid_sorted = valid[order]
 
-    # Rank of each point within its voxel run (stable sort keeps original
-    # order inside a run, so rank < cap == "first cap points" of the voxel).
-    starts = jnp.searchsorted(ids_sorted, ids_sorted, side="left")
-    positions = jnp.arange(P, dtype=starts.dtype)
-    within_rank = positions - starts
-
     # Voxel creation order (the reference creates voxels in point order and
     # drops new voxels beyond max_voxels): the run head's ORIGINAL position is
     # the voxel's arrival index; rank voxels by arrival.
     is_first = jnp.concatenate(
         [jnp.array([True]), ids_sorted[1:] != ids_sorted[:-1]]
     ) & valid_sorted
+    positions = jnp.arange(P, dtype=jnp.int32)
+
+    # run index per point + each run's start position (sequence ops only —
+    # a searchsorted here costs ~100 ns/query on TPU)
+    run = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [P], sorted-run index
+    run_safe = jnp.clip(run, 0, P - 1)
+    starts = jax.ops.segment_min(
+        jnp.where(is_first, positions, P), jnp.clip(run, 0, P - 1), P
+    )[run_safe]
+    within_rank = positions - starts
+
     head_arrival = jnp.where(is_first, order, jnp.iinfo(jnp.int32).max)
     # arrival rank of each run head among heads (stable; non-heads sort last)
     arrival_rank = jnp.argsort(jnp.argsort(head_arrival)).astype(jnp.int32)

@@ -58,41 +58,52 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     pre-sorted by distance, so "first active offset" == nearest neighbour.
     No scan — ~k passes over the [O, X*Y*Z] shifted-activity tensor.
     """
+    assert k == 2, "window_knn is specialized for k=2 (GSFusion knum)"
     X, Y, Z = key_mask.shape
     O = offsets.shape[0]
     rx, ry, rz = [int(np.abs(offsets[:, i]).max()) for i in range(3)]
 
     padded = jnp.pad(key_mask, ((rx, rx), (ry, ry), (rz, rz)))
-    pY, pZ = Y + 2 * ry, Z + 2 * rz
-
-    # flat index of every cell in the padded layout
-    cx = jnp.arange(X)[:, None, None] + rx
-    cy = jnp.arange(Y)[None, :, None] + ry
-    cz = jnp.arange(Z)[None, None, :] + rz
-    base = ((cx * pY) + cy) * pZ + cz  # [X, Y, Z]
-    off_flat = jnp.asarray(
-        (offsets[:, 0] * pY + offsets[:, 1]) * pZ + offsets[:, 2])
-
-    padded_flat = padded.reshape(-1)
     n = X * Y * Z
-    # shifted activity per offset: [O, n]
-    shifted = padded_flat[base.reshape(1, n) + off_flat[:, None]]
+    BIG = jnp.int32(O)
+
+    # Shifted activity planes come from PAD + SLICE (contiguous copies):
+    # a flat gather of O*n elements costs ~0.5 s at the r50 shapes, slices
+    # are pure bandwidth. Offsets are processed in chunks; the chunk's best
+    # two offset-ranks merge into a running best-2 (offsets are sorted by
+    # distance, so smallest rank == nearest).
+    CH = 81
+    best1 = jnp.full((n,), BIG)
+    best2 = jnp.full((n,), BIG)
+    for c0 in range(0, O, CH):
+        chunk = offsets[c0:c0 + CH]
+        planes = jnp.stack([
+            jax.lax.dynamic_slice(
+                padded, (int(dx) + rx, int(dy) + ry, int(dz) + rz),
+                (X, Y, Z)).reshape(n)
+            for dx, dy, dz in chunk
+        ])  # [ch, n] bool
+        ranks = (c0 + jax.lax.broadcasted_iota(jnp.int32, planes.shape, 0))
+        vals = jnp.where(planes, ranks, BIG)
+        m1 = jnp.min(vals, axis=0)
+        a1 = jnp.argmin(vals, axis=0)
+        vals2 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == a1[None],
+            BIG, vals)
+        m2 = jnp.min(vals2, axis=0)
+        # merge two sorted pairs (best1<=best2, m1<=m2)
+        lo = jnp.minimum(best1, m1)
+        hi = jnp.minimum(jnp.maximum(best1, m1), jnp.minimum(best2, m2))
+        best1, best2 = lo, hi
 
     # neighbour linear id = cell id + per-offset delta (out-of-range offsets
     # are never active in `padded`, so wraparound ids are never selected)
     delta = jnp.asarray(
         (offsets[:, 0] * Y + offsets[:, 1]) * Z + offsets[:, 2]
     ).astype(jnp.int32)  # [O]
+    delta = jnp.concatenate([delta, jnp.zeros((1,), jnp.int32)])  # BIG slot
     cell_id = jnp.arange(n, dtype=jnp.int32)
 
-    idxs = []
-    act = shifted
-    for _ in range(k):
-        first = jnp.argmax(act, axis=0)               # first True offset
-        has = jnp.any(act, axis=0)
-        nb = cell_id + delta[first]                    # tiny-table gather
-        idxs.append(jnp.where(has, nb, -1))
-        # mask out the selected offset for the next round
-        act = act & (jax.lax.broadcasted_iota(jnp.int32, act.shape, 0)
-                     != first[None])
-    return jnp.stack(idxs, axis=-1).reshape(X, Y, Z, k)
+    idx1 = jnp.where(best1 < O, cell_id + delta[jnp.minimum(best1, O)], -1)
+    idx2 = jnp.where(best2 < O, cell_id + delta[jnp.minimum(best2, O)], -1)
+    return jnp.stack([idx1, idx2], axis=-1).reshape(X, Y, Z, k)
