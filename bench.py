@@ -35,7 +35,9 @@ def main():
     from coocc_tpu.utils.init_utils import jit_init
 
     cfg = get_config("coocc_multi_r50_256x704")
-    model = CoOccRay(cfg=cfg)
+    dtype = {"bf16": jnp.bfloat16, "fp32": None}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
+    model = CoOccRay(cfg=cfg, dtype=dtype)
 
     def to_dev(b):
         return jax.tree.map(

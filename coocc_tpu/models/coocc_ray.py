@@ -135,7 +135,9 @@ class CoOccRay(nn.Module):
                 input_channel=pts.input_channel, base_channel=pts.base_channel,
                 out_channel=pts.out_channel,
                 sparse_shape_xyz=pts.sparse_shape_xyz,
-                capacity=max_vox, name="pts_middle_encoder",
+                capacity=max_vox,
+                compute_dtype=self.dtype or jnp.float32,
+                name="pts_middle_encoder",
             )(sp, train=train)
         else:
             enc_cls = {"SparseLiDAREnc8x": SparseLiDAREnc8x,

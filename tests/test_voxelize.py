@@ -16,6 +16,7 @@ def _run(points, max_voxels=64, cap=10, grid=(8, 8, 4)):
     out = voxelize(
         jnp.asarray(pts), jnp.asarray(mask), pcr, vs, grid,
         max_voxels=max_voxels, max_points_per_voxel=cap,
+        exact_overflow=True,
     )
     ids_ref, feats_ref = voxelize_oracle(
         points, pcr, vs, grid, max_voxels=max_voxels, max_points_per_voxel=cap
@@ -59,3 +60,18 @@ def test_voxelize_num_features_slice(rng):
         max_voxels=64, num_features=4,
     )
     assert out.features.shape[1] == 4
+
+
+def test_voxelize_fast_path_no_overflow(rng):
+    """exact_overflow=False is identical when voxels fit in the cap."""
+    pts = rng.uniform(-3.5, 3.5, size=(300, 5)).astype(np.float32)
+    pcr = (-4.0, -4.0, -2.0, 4.0, 4.0, 2.0)
+    kw = dict(point_cloud_range=pcr, voxel_size=(1.0, 1.0, 1.0),
+              grid_size=(8, 8, 4), max_voxels=256, max_points_per_voxel=10)
+    a = voxelize(jnp.asarray(pts), jnp.ones(300, bool), **kw,
+                 exact_overflow=True)
+    b = voxelize(jnp.asarray(pts), jnp.ones(300, bool), **kw,
+                 exact_overflow=False)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_allclose(np.asarray(a.features),
+                               np.asarray(b.features), rtol=1e-6)
