@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--ann-file", default="data/nuscenes_infos_temporal_val.pkl")
     p.add_argument("--occ-path", default="data/nuscenes_occ")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--pred-save", default=None,
+                   help="directory for per-sample npz prediction dumps")
+    p.add_argument("--show-dir", default=None,
+                   help="directory for BEV visualization pngs")
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -87,6 +91,32 @@ def main():
         from coocc_tpu.utils.init_utils import jit_init
         variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, sample,
                              train=False)
+
+    if args.pred_save or args.show_dir:
+        # per-sample loop with prediction dumps (reference: --pred-save /
+        # --show-dir in tools/test.py + apis/utils.py savers)
+        import numpy as np
+        from coocc_tpu.evaluation.savers import save_output_nuscenes
+        from coocc_tpu.evaluation.visualize import save_visualization
+        from coocc_tpu.parallel.train_step import make_eval_step
+        eval_step = make_eval_step(model, cfg, mesh=mesh)
+        out_dir = args.pred_save or args.show_dir
+        for i, batch in enumerate(val_iter()):
+            if args.max_steps and i >= args.max_steps:
+                break
+            out = eval_step(variables, batch)
+            pred = np.argmax(np.asarray(out["occ_logits"]), axis=-1)
+            for b in range(pred.shape[0]):
+                token = f"sample_{i}_{b}"
+                save_output_nuscenes(
+                    pred[b], args.pred_save or out_dir, token,
+                    gt_voxels=np.asarray(batch.gt_occ[b]))
+                if args.show_dir:
+                    import os
+                    save_visualization(
+                        os.path.join(args.pred_save or out_dir,
+                                     f"{token}.npz"),
+                        os.path.join(args.show_dir, f"{token}.png"))
 
     metrics = evaluate(model, variables, cfg, val_iter(), mesh=mesh,
                        max_steps=args.max_steps)
