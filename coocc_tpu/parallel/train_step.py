@@ -69,6 +69,18 @@ def make_eval_step(model, cfg: CoOccConfig, mesh=None):
             res["fine_logits"] = outs["fine_logits"]
             res["fine_coords"] = outs["fine_coords"]
             res["fine_valid"] = outs["fine_valid"]
+        if "fine_logits" in outs:
+            # fine-cascade SSC metric: scatter fine logits into an
+            # empty-initialized full-res grid (reference: simple_test
+            # pred_f assembly + SSC_metric_fine, coocc_ray.py:545-554)
+            from ..evaluation.ssc_metrics import scatter_fine_into_pred
+            pred_f = scatter_fine_into_pred(
+                outs["fine_logits"], outs["fine_coords"], outs["fine_valid"],
+                cfg.occ_head.final_occ_size, cfg.empty_idx)
+            sc_f, ssc_f = occupancy_hists(pred_f, batch.gt_occ,
+                                          cfg.num_classes, cfg.empty_idx)
+            res["SC_hist_fine"] = sc_f
+            res["SSC_hist_fine"] = ssc_f
         if batch.points_occ is not None:
             # lidarseg readout + confusion matrix
             # (reference: occ_head.py:339-379, coocc_ray.py:556-560)

@@ -31,6 +31,10 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
     eval_step = make_eval_step(model, cfg, mesh=mesh)
     sc = np.zeros((2, 2), np.int64)
     ssc = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+    ssc_f = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+    sc_f = np.zeros((2, 2), np.int64)
+    lseg = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+    have_fine = have_lseg = False
     n = 0
     for batch in data_iter:
         if mesh is not None:
@@ -38,10 +42,25 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
         out = eval_step(variables, batch)
         sc += np.asarray(out["SC_hist"])
         ssc += np.asarray(out["SSC_hist"])
+        if "SSC_hist_fine" in out:
+            have_fine = True
+            sc_f += np.asarray(out["SC_hist_fine"])
+            ssc_f += np.asarray(out["SSC_hist_fine"])
+        if "lidarseg_hist" in out:
+            have_lseg = True
+            lseg += np.asarray(out["lidarseg_hist"])
         n += 1
         if max_steps is not None and n >= max_steps:
             break
-    return ssc_summary(sc, ssc)
+    summary = ssc_summary(sc, ssc)
+    if have_fine:
+        fine = ssc_summary(sc_f, ssc_f)
+        summary["SSC_mIoU_fine"] = fine["SSC_mIoU"]
+        summary["SC_IoU_fine"] = fine["SC_IoU"]
+    if have_lseg:
+        from ..evaluation.formatting import cm_to_ious
+        summary["lidarseg_mIoU"] = float(np.nanmean(cm_to_ious(lseg)[1:]))
+    return summary
 
 
 def train(model, cfg: CoOccConfig, train_iter_fn: Callable[[], Iterable],
