@@ -190,7 +190,8 @@ def downsample_sites(sp: SparseTensor, grid_size, out_grid_size,
     seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     seg = jnp.where(cids_sorted < sentinel, seg, out_capacity)
     out_ids = jax.ops.segment_min(
-        jnp.where(is_first, cids_sorted, sentinel), seg, out_capacity + 1
+        jnp.where(is_first, cids_sorted, sentinel), seg, out_capacity + 1,
+        indices_are_sorted=True,
     )[:out_capacity]
     n_unique = jnp.sum(is_first.astype(jnp.int32))
     out_mask = jnp.arange(out_capacity) < jnp.minimum(n_unique, out_capacity)

@@ -116,7 +116,8 @@ def voxelize(
     run = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [P], sorted-run index
     run_safe = jnp.clip(run, 0, P - 1)
     starts = jax.ops.segment_min(
-        jnp.where(is_first, positions, P), jnp.clip(run, 0, P - 1), P
+        jnp.where(is_first, positions, P), jnp.clip(run, 0, P - 1), P,
+        indices_are_sorted=True,
     )[run_safe]
     within_rank = positions - starts
 
@@ -135,20 +136,25 @@ def voxelize(
 
     take = valid_sorted & (within_rank < max_points_per_voxel) \
         & (seg_rank < max_voxels)
-    # output slot = arrival rank (capped segments -> overflow bin)
+    # output slot = voxel rank (capped segments -> overflow bin)
     slot_of_point = jnp.where(valid_sorted & (seg_rank < max_voxels),
                               seg_rank, max_voxels)
     num_segments = max_voxels + 1
+    # fast path slots are the sorted run index -> monotonic, which lets the
+    # segment reductions skip the scatter lowering
+    sorted_slots = not exact_overflow
 
     feat_sum = jax.ops.segment_sum(
-        jnp.where(take[:, None], feats_sorted, 0.0), slot_of_point, num_segments
+        jnp.where(take[:, None], feats_sorted, 0.0), slot_of_point,
+        num_segments, indices_are_sorted=sorted_slots,
     )[:max_voxels]
     count = jax.ops.segment_sum(
-        take.astype(points.dtype), slot_of_point, num_segments
+        take.astype(points.dtype), slot_of_point, num_segments,
+        indices_are_sorted=sorted_slots,
     )[:max_voxels]
     seg_ids = jax.ops.segment_min(
         jnp.where(slot_of_point < max_voxels, ids_sorted, num_cells),
-        slot_of_point, num_segments,
+        slot_of_point, num_segments, indices_are_sorted=sorted_slots,
     )[:max_voxels]
 
     n_voxels = jnp.sum(is_first.astype(jnp.int32))
@@ -159,13 +165,17 @@ def voxelize(
     mean = jnp.where(seg_valid[:, None], mean, 0.0)
     out_ids = jnp.where(seg_valid, seg_ids, num_cells).astype(jnp.int32)
 
-    # Re-sort by id so downstream sparse ops get sorted ids.
-    id_order = jnp.argsort(out_ids, stable=True)
-    return VoxelizedPoints(
-        ids=out_ids[id_order],
-        features=mean[id_order],
-        mask=seg_valid[id_order],
-    )
+    if exact_overflow:
+        # arrival-ranked slots are unordered in id space; re-sort so
+        # downstream sparse ops get sorted ids
+        id_order = jnp.argsort(out_ids, stable=True)
+        return VoxelizedPoints(
+            ids=out_ids[id_order],
+            features=mean[id_order],
+            mask=seg_valid[id_order],
+        )
+    # fast path: slots == sorted-run index, already id-ordered
+    return VoxelizedPoints(ids=out_ids, features=mean, mask=seg_valid)
 
 
 def voxelize_oracle(points: np.ndarray, point_cloud_range, voxel_size,
