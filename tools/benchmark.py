@@ -41,7 +41,9 @@ def main():
     from coocc_tpu.utils.init_utils import jit_init
 
     cfg = tiny_config() if args.config == "tiny" else get_config(args.config)
-    model = CoOccRay(cfg=cfg)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+        cfg.compute_dtype)
+    model = CoOccRay(cfg=cfg, dtype=dtype)
     batch = jax.tree.map(
         lambda x: None if x is None else jnp.asarray(x),
         synthetic_batch(cfg, batch_size=1),

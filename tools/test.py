@@ -57,7 +57,9 @@ def main():
     cfg = tiny_config() if args.config == "tiny" else get_config(args.config)
     mesh = make_mesh(args.devices)
     n_dev = mesh.devices.size
-    model = CoOccRay(cfg=cfg)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+        cfg.compute_dtype)
+    model = CoOccRay(cfg=cfg, dtype=dtype)
 
     def to_dev(b):
         return jax.tree.map(

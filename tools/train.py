@@ -103,7 +103,9 @@ def main():
             args.occ_path, batch_size=n_dev)
         steps = args.steps_per_epoch or steps
 
-    model = CoOccRay(cfg=cfg)
+    dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+        cfg.compute_dtype)
+    model = CoOccRay(cfg=cfg, dtype=dtype)
     train(model, cfg, train_iter, val_iter, steps_per_epoch=steps,
           work_dir=work_dir, mesh=mesh,
           resume=args.resume_from is not None, seed=args.seed,
