@@ -89,6 +89,25 @@ class CoOccRay(nn.Module):
         pts = cfg.pts
         max_vox = pts.max_voxels if train else pts.max_voxels_test
 
+        if pts.impl == "dense" and pts.encoder == "SparseLiDAREnc8x":
+            # The dense encoder only consumes voxel OCCUPANCY (its stem
+            # GroupNorm erases features) — use the sort-free mask voxelizer.
+            from ..nn.sparse_enc_dense import DenseLiDAREnc8x
+            from ..ops.voxelize import voxelize_mask
+            mask0 = jax.vmap(lambda p, m: voxelize_mask(
+                p, m, cfg.point_cloud_range, pts.voxel_size,
+                pts.sparse_shape_xyz, max_voxels=max_vox))(
+                batch.points, batch.points_mask)
+            dense = DenseLiDAREnc8x(
+                input_channel=pts.input_channel, base_channel=pts.base_channel,
+                out_channel=pts.out_channel,
+                sparse_shape_xyz=pts.sparse_shape_xyz,
+                capacity=max_vox,
+                compute_dtype=self.dtype or jnp.float32,
+                name="pts_middle_encoder",
+            )(mask0, train=train)
+            return dense.astype(self.dtype or jnp.float32)
+
         def vox_one(p, m):
             return voxelize(
                 p, m, cfg.point_cloud_range, pts.voxel_size,
@@ -129,16 +148,6 @@ class CoOccRay(nn.Module):
                     dtype=self.dtype, name="pts_neck",
                 )(feats, train=train)
                 dense = jnp.transpose(out, (0, 3, 2, 1, 4))
-        elif pts.impl == "dense" and pts.encoder == "SparseLiDAREnc8x":
-            from ..nn.sparse_enc_dense import DenseLiDAREnc8x
-            dense = DenseLiDAREnc8x(
-                input_channel=pts.input_channel, base_channel=pts.base_channel,
-                out_channel=pts.out_channel,
-                sparse_shape_xyz=pts.sparse_shape_xyz,
-                capacity=max_vox,
-                compute_dtype=self.dtype or jnp.float32,
-                name="pts_middle_encoder",
-            )(sp, train=train)
         else:
             enc_cls = {"SparseLiDAREnc8x": SparseLiDAREnc8x,
                        "SparseLiDAREnc4x": SparseLiDAREnc4x}[pts.encoder]

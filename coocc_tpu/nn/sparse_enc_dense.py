@@ -211,17 +211,23 @@ class DenseLiDAREnc8x(nn.Module):
     sparse_shape_xyz: Tuple[int, int, int] = (800, 800, 64)
     capacity: int = 90000
     compute_dtype: Any = jnp.float32
+    stop_after: Optional[str] = None  # profiling: stem|res1|res2|res3
 
     @nn.compact
-    def __call__(self, sp: SparseTensor, train: bool = False):
+    def __call__(self, sp, train: bool = False):
         b = self.base_channel
         g0 = self.sparse_shape_xyz
         g1 = tuple(s // 2 for s in g0)
 
         # NOTE: the voxel FEATURES are never read — the degenerate stem GN
         # (see below) erases them in the reference architecture too; only
-        # the occupancy mask matters.
-        mask0 = _dense_mask(sp, g0)
+        # the occupancy mask matters. Accepts either a SparseTensor or a
+        # dense [B, X, Y, Z] bool occupancy (ops.voxelize.voxelize_mask's
+        # sort-free output).
+        if isinstance(sp, SparseTensor):
+            mask0 = _dense_mask(sp, g0)
+        else:
+            mask0 = sp
 
         # --- level 0 collapses analytically. The stem is SubM conv ->
         # GroupNorm(16, base=16) -> ReLU; with one channel per group the GN
@@ -268,13 +274,19 @@ class DenseLiDAREnc8x(nn.Module):
         d = d * mask[..., None]
         d = down1("norm", d, mask, train)
         d = nn.relu(d) * mask[..., None]
+        if self.stop_after == "stem":
+            return d
 
         d = _DenseBasicBlock(b * 2, name="res1_0")(d, mask, train)
         d = _DenseBasicBlock(b * 2, name="res1_1")(d, mask, train)
+        if self.stop_after == "res1":
+            return d
         for lvl, ch in ((2, b * 4), (3, b * 8)):
             d, mask = _DenseStrided(ch, name=f"down{lvl}")(d, mask, train)
             d = _DenseBasicBlock(ch, name=f"res{lvl}_0")(d, mask, train)
             d = _DenseBasicBlock(ch, name=f"res{lvl}_1")(d, mask, train)
+            if self.stop_after == f"res{lvl}":
+                return d
 
         d = _DenseSubM(self.out_channel, name="conv_out")(d, mask)
         d = _PerCellGN(16, name="gn_out")(d, mask)

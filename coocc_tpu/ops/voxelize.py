@@ -178,6 +178,46 @@ def voxelize(
     return VoxelizedPoints(ids=out_ids, features=mean, mask=seg_valid)
 
 
+def voxelize_mask(
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    point_cloud_range,
+    voxel_size,
+    grid_size: Tuple[int, int, int],
+    max_voxels: int | None = None,
+) -> jnp.ndarray:
+    """Dense boolean occupancy grid of the hard voxelizer's KEPT voxels.
+
+    Sort-free fast path for consumers that only need voxel occupancy (the
+    dense LiDAR encoder: its degenerate stem GroupNorm erases the voxel
+    features, so only the mask matters — see nn/sparse_enc_dense.py). Equals
+    scattering `voxelize(...).ids` into a dense grid, including the fast
+    path's overflow rule (drop the largest linear ids beyond `max_voxels`),
+    but costs one scatter + one cumsum instead of a 350k-point sort chain.
+
+    Returns: [nx, ny, nz] bool.
+    """
+    nx, ny, nz = [int(g) for g in grid_size]
+    num_cells = nx * ny * nz
+
+    pcr = jnp.asarray(point_cloud_range, points.dtype)
+    vs = jnp.asarray(voxel_size, points.dtype)
+    coords = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+    in_range = jnp.all(
+        (coords >= 0) & (coords < jnp.array([nx, ny, nz], jnp.int32)), axis=-1
+    )
+    valid = in_range & points_mask
+    ids = jnp.where(valid, linearize(coords, grid_size), num_cells)
+
+    occ = jnp.zeros((num_cells,), bool).at[ids].set(True, mode="drop")
+    if max_voxels is not None and max_voxels < num_cells:
+        # id-order cap: keep the max_voxels smallest occupied ids (identical
+        # to voxelize()'s fast path whenever occupancy exceeds the cap)
+        rank = jnp.cumsum(occ.astype(jnp.int32))
+        occ = occ & (rank <= max_voxels)
+    return occ.reshape(nx, ny, nz)
+
+
 def voxelize_oracle(points: np.ndarray, point_cloud_range, voxel_size,
                     grid_size, max_voxels: int, max_points_per_voxel: int = 10,
                     num_features: int | None = None):

@@ -75,3 +75,24 @@ def test_voxelize_fast_path_no_overflow(rng):
     np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
     np.testing.assert_allclose(np.asarray(a.features),
                                np.asarray(b.features), rtol=1e-6)
+
+
+def test_voxelize_mask_matches_voxelize(rng):
+    """voxelize_mask == dense scatter of voxelize().ids (with and without
+    cap overflow)."""
+    from coocc_tpu.ops.voxelize import voxelize_mask
+
+    pts = rng.uniform(-3.9, 3.9, size=(400, 5)).astype(np.float32)
+    pcr = (-4.0, -4.0, -2.0, 4.0, 4.0, 2.0)
+    grid = (8, 8, 4)
+    n_cells = 8 * 8 * 4
+    mask = np.ones(400, bool)
+    mask[350:] = False
+    for cap in (256, 40):  # no-overflow and overflow
+        out = voxelize(jnp.asarray(pts), jnp.asarray(mask), pcr,
+                       (1.0, 1.0, 1.0), grid, max_voxels=cap)
+        ref = np.zeros(n_cells, bool)
+        ref[np.asarray(out.ids)[np.asarray(out.mask)]] = True
+        got = voxelize_mask(jnp.asarray(pts), jnp.asarray(mask), pcr,
+                            (1.0, 1.0, 1.0), grid, max_voxels=cap)
+        np.testing.assert_array_equal(np.asarray(got).reshape(-1), ref)
