@@ -122,7 +122,7 @@ class PtsBranchConfig:
     encoder: str = "SparseLiDAREnc8x"   # | 'SparseLiDAREnc4x' | 'SparseEncoderHD'
     # 'dense' = masked dense conv3d (TPU fast path), 'gather' = gather-GEMM
     # sparse engine (same params; see nn/sparse_enc_dense.py)
-    impl: str = "dense"
+    impl: str = "packed"
     input_channel: int = 4
     base_channel: int = 16
     out_channel: int = 128

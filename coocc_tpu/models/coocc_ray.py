@@ -89,16 +89,20 @@ class CoOccRay(nn.Module):
         pts = cfg.pts
         max_vox = pts.max_voxels if train else pts.max_voxels_test
 
-        if pts.impl == "dense" and pts.encoder == "SparseLiDAREnc8x":
-            # The dense encoder only consumes voxel OCCUPANCY (its stem
+        if pts.impl in ("dense", "packed") \
+                and pts.encoder == "SparseLiDAREnc8x":
+            # The dense encoders only consume voxel OCCUPANCY (their stem
             # GroupNorm erases features) — use the sort-free mask voxelizer.
             from ..nn.sparse_enc_dense import DenseLiDAREnc8x
+            from ..nn.sparse_enc_packed import PackedLiDAREnc8x
             from ..ops.voxelize import voxelize_mask
             mask0 = jax.vmap(lambda p, m: voxelize_mask(
                 p, m, cfg.point_cloud_range, pts.voxel_size,
                 pts.sparse_shape_xyz, max_voxels=max_vox))(
                 batch.points, batch.points_mask)
-            dense = DenseLiDAREnc8x(
+            enc_cls = (PackedLiDAREnc8x if pts.impl == "packed"
+                       else DenseLiDAREnc8x)
+            dense = enc_cls(
                 input_channel=pts.input_channel, base_channel=pts.base_channel,
                 out_channel=pts.out_channel,
                 sparse_shape_xyz=pts.sparse_shape_xyz,

@@ -48,8 +48,32 @@ class Conv2d(nn.Module):
         )(x)
 
 
+class _Conv3dParams(nn.Module):
+    """Param holder with nn.Conv's exact tree (kernel [kx,ky,kz,Ci,Co], bias)."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class Conv3d(nn.Module):
-    """torch-style Conv3d on [..., X, Y, Z, C] (any 3 trailing spatial dims)."""
+    """torch-style Conv3d on [..., X, Y, Z, C] (any 3 trailing spatial dims).
+
+    TPU note: XLA's native 3D convolution runs at ~4% of MXU peak at this
+    model's shapes (measured on v5e), so kernels with a z extent are
+    decomposed into kz 2D convolutions with z folded into the BATCH dim —
+    same math, measured ~10x faster. Parameter tree is identical to nn.Conv
+    ("conv"/kernel+bias), so checkpoints are unaffected.
+    """
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
@@ -60,16 +84,57 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+        pads = _pad_tuple(self.padding, 3)
+        kx, ky, kz = self.kernel_size
+        if x.ndim == 5 and self.groups == 1 and kz > 1 \
+                and not os.environ.get("COOCC_CONV3D_NATIVE"):
+            return self._zbatch(x, pads)
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.stride,
-            padding=_pad_tuple(self.padding, 3),
+            padding=pads,
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=self.dtype,
             name="conv",
         )(x)
+
+    def _zbatch(self, x, pads):
+        import jax
+
+        kx, ky, kz = self.kernel_size
+        sx, sy, sz = self.stride
+        B, X, Y, Z, C = x.shape
+        kernel, bias = _Conv3dParams(self.features, self.kernel_size, C,
+                                     self.use_bias, name="conv")()
+        cd = self.dtype or x.dtype
+        xc = x.astype(cd)
+        w = kernel.astype(cd)
+        (plo, phi) = pads[2]
+        Zout = (Z + plo + phi - kz) // sz + 1
+        Zpad = Z + plo + phi
+        # [B, Zpad, X, Y, C], z in batch. Each z tap runs ONE conv2d over all
+        # padded slices; the outputs are then shift-aligned and summed.
+        xt = jnp.pad(jnp.moveaxis(xc, 3, 1),
+                     ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
+        xt = xt.reshape(B * Zpad, X, Y, C)
+        out = None
+        for dz in range(kz):
+            y = jax.lax.conv_general_dilated(
+                xt, w[:, :, dz], (sx, sy), [pads[0], pads[1]],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            Xo, Yo, Co = y.shape[1], y.shape[2], y.shape[3]
+            y = y.reshape(B, Zpad, Xo, Yo, Co)
+            y = jax.lax.slice_in_dim(y, dz, dz + (Zout - 1) * sz + 1, sz,
+                                     axis=1)
+            out = y if out is None else out + y
+        out = out.astype(cd)
+        if bias is not None:
+            out = out + bias.astype(cd)
+        return jnp.moveaxis(out, 1, 3)
 
 
 class ConvTranspose3d(nn.Module):

@@ -1,0 +1,339 @@
+"""Z-packed conv2d implementation of the sparse LiDAR encoder (TPU fastest
+path).
+
+Same math and the SAME parameter tree as nn/sparse_enc_dense.DenseLiDAREnc8x
+(itself parity-tested against the gather-GEMM sparse path and spconv
+semantics, reference sparse_lidar_enc.py:125-178), but computed so every
+convolution runs as a 2D convolution with >=128-lane channel dimensions —
+measured 86-136 TFLOP/s on v5e where XLA's conv3d at these shapes runs at
+~7 TFLOP/s.
+
+Layouts per level (grid X x Y x Z, C channels):
+  * lane-major  [B, X, Y, Z*C]   — z-major lanes; used for strided convs
+  * packed      [B, bz, X, Y, p*C] — z split into bz packs of p slots
+    (p = 128 // C), pack index in batch; used for SubM convs and pointwise
+    ops. Conversions between the two are single cheap transposes.
+
+Key transforms:
+  * STEM (level-0 collapse, see sparse_enc_dense.py): the degenerate
+    GroupNorm(16,16) erases the voxel features, so level 0 reduces to a
+    27-tap function of the occupancy mask. Here it is ONE stride-2 conv2d
+    of the [B, X0, Y0, Z0] bf16 mask with a [3, 3, Z0, Z1*C1] weight built
+    from down1's kernel — the z taps are unrolled into the weight.
+  * SubM 3x3x3 conv in packed layout: ONE conv2d with an extended input
+    [.., p*C + 2*C] (the two cross-pack carry lanes, built by pack-axis
+    shifts) and a [3, 3, (p+2)*C, p*C] block-tridiagonal weight. FLOP
+    redundancy vs the raw conv: 2x at C=32, 1.33x at C=64, 1.0x at C=128 —
+    paid to keep the MXU full.
+  * Strided 3x3x3 conv: ONE stride-2 conv2d in lane-major layout with a
+    [3, 3, Zin*Cin, Zout*Cout] block-banded weight.
+  * Mask dilation (strided-conv active-site rule): a stride-2 conv2d of the
+    mask with a 0/1 [3, 3, Zin, Zout] weight; output active where count > 0.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse_conv import SparseTensor
+from .layers import MaskedBatchNorm
+from .sparse_enc import _kaiming
+from .sparse_enc_dense import _PerCellGN, _WeightHolder, _dense_mask
+
+
+# ---------------------------------------------------------------------------
+# weight builders (all operate on [27, Cin, Cout] kx-major tap weights)
+# ---------------------------------------------------------------------------
+
+def _subm_ext_weight(w27: jnp.ndarray, p: int) -> jnp.ndarray:
+    """[27, C, Co] -> [3, 3, (p+2)*C, p*Co] block-tridiagonal + carries."""
+    k3, C, Co = w27.shape
+    w3 = w27.reshape(3, 3, 3, C, Co)
+    blocks = []
+    for zo in range(p):
+        col = [jnp.zeros((3, 3, C, Co), w27.dtype) for _ in range(p + 2)]
+        for dz in range(3):
+            zi = zo + dz - 1
+            if 0 <= zi < p:
+                col[zi] = col[zi] + w3[:, :, dz]
+        if zo == p - 1:
+            col[p] = w3[:, :, 2]      # carry from next pack's first slot
+        if zo == 0:
+            col[p + 1] = w3[:, :, 0]  # carry from prev pack's last slot
+        blocks.append(jnp.concatenate(col, axis=2))  # [3,3,(p+2)C,Co]
+    return jnp.concatenate(blocks, axis=3)  # [3,3,(p+2)C,pCo]
+
+
+def _strided_weight(w27: jnp.ndarray, z_in: int) -> jnp.ndarray:
+    """[27, Ci, Co] -> [3, 3, z_in*Ci, (z_in//2)*Co] for stride-2 z."""
+    k3, Ci, Co = w27.shape
+    w3 = w27.reshape(3, 3, 3, Ci, Co)
+    z_out = z_in // 2
+    out = jnp.zeros((3, 3, z_in, Ci, z_out, Co), w27.dtype)
+    for dz in range(3):
+        zo = np.arange(z_out)
+        zi = 2 * zo + dz - 1
+        ok = (zi >= 0) & (zi < z_in)
+        upd = jnp.broadcast_to(w3[:, :, dz, None, :, :],
+                               (3, 3, int(ok.sum()), Ci, Co))
+        # advanced-index axes (zi, zo) land in front of the slice axes
+        out = out.at[:, :, zi[ok], :, zo[ok], :].add(
+            jnp.transpose(upd, (2, 0, 1, 3, 4)))
+    return out.reshape(3, 3, z_in * Ci, z_out * Co)
+
+
+def _dilate_weight(z_in: int, dtype) -> jnp.ndarray:
+    """0/1 [3, 3, z_in, z_in//2] mask-dilation weight (k3 s2 p1)."""
+    z_out = z_in // 2
+    w = np.zeros((3, 3, z_in, z_out), np.float32)
+    for dz in (-1, 0, 1):
+        zo = np.arange(z_out)
+        zi = 2 * zo + dz
+        ok = (zi >= 0) & (zi < z_in)
+        w[:, :, zi[ok], zo[ok]] = 1.0
+    return jnp.asarray(w, dtype)
+
+
+def _conv2d(x, w, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+def _pick_pack(C: int, Z: int) -> int:
+    """Largest divisor of Z with p*C <= 128 (pack p z-slots into lanes)."""
+    p = max(1, min(128 // C, Z))
+    while Z % p:
+        p -= 1
+    return p
+
+
+def _lm_to_pb(x_lm, Z, C, p):
+    """[B, X, Y, Z*C] -> [B, bz, X, Y, p*C]."""
+    B, X, Y, _ = x_lm.shape
+    bz = Z // p
+    return jnp.transpose(x_lm.reshape(B, X, Y, bz, p * C), (0, 3, 1, 2, 4))
+
+
+def _pb_to_lm(x_pb, C):
+    """[B, bz, X, Y, p*C] -> [B, X, Y, Z*C]."""
+    B, bz, X, Y, pc = x_pb.shape
+    return jnp.transpose(x_pb, (0, 2, 3, 1, 4)).reshape(B, X, Y, bz * pc)
+
+
+def _mask_pb(mask_lm, p):
+    """[B, X, Y, Z] bool -> [B, bz, X, Y, p] bool."""
+    B, X, Y, Z = mask_lm.shape
+    return jnp.transpose(mask_lm.reshape(B, X, Y, Z // p, p), (0, 3, 1, 2, 4))
+
+
+def _shift_ext(x_pb, C):
+    """Append the two cross-pack carry lane groups: [..., p*C + 2*C]."""
+    up = jnp.concatenate(
+        [x_pb[:, 1:, ..., :C], jnp.zeros_like(x_pb[:, :1, ..., :C])], axis=1)
+    dn = jnp.concatenate(
+        [jnp.zeros_like(x_pb[:, :1, ..., -C:]), x_pb[:, :-1, ..., -C:]],
+        axis=1)
+    return jnp.concatenate([x_pb, up, dn], axis=-1)
+
+
+def _conv2d_pb(x_pb, w, stride=1):
+    """conv2d over the (X, Y) dims of a packed [B, bz, X, Y, L] tensor."""
+    B, bz, X, Y, L = x_pb.shape
+    out = _conv2d(x_pb.reshape(B * bz, X, Y, L), w, stride)
+    return out.reshape(B, bz, X // stride, Y // stride, -1)
+
+
+# ---------------------------------------------------------------------------
+# packed masked BatchNorm (same param/variable tree as _DenseMaskedBN)
+# ---------------------------------------------------------------------------
+
+class _PackedBNCore(nn.Module):
+    """MaskedBatchNorm twin operating on packed [B,bz,X,Y,p*C] tensors."""
+    C: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x_pb, maskf_pc, train: bool):
+        C = self.C
+        p = x_pb.shape[-1] // C
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xm = (x_pb * maskf_pc).astype(jnp.float32)
+            s1 = xm.sum(axis=(0, 1, 2, 3)).reshape(p, C).sum(0)
+            s2 = (xm * x_pb).sum(axis=(0, 1, 2, 3)).reshape(p, C).sum(0)
+            n = jnp.maximum(
+                maskf_pc.astype(jnp.float32).sum() / C, 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value \
+                    + self.momentum * var * n / jnp.maximum(n - 1, 1.0)
+
+        mean_t = jnp.tile(mean, p).astype(x_pb.dtype)
+        inv_t = jnp.tile(
+            (1.0 / jnp.sqrt(var + self.eps)) * scale, p).astype(x_pb.dtype)
+        bias_t = jnp.tile(bias, p).astype(x_pb.dtype)
+        return ((x_pb - mean_t) * inv_t + bias_t) * maskf_pc
+
+
+class _PackedBN(nn.Module):
+    """Scope twin of _DenseMaskedBN: <name>/bn/{scale,bias,mean,var}."""
+    C: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x_pb, maskf_pc, train: bool):
+        return _PackedBNCore(self.C, self.eps, self.momentum, name="bn")(
+            x_pb, maskf_pc, train)
+
+
+class _PackedSubM(nn.Module):
+    """Scope twin of _DenseSubM (param 'weight' [27, Cin, Cout])."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x_pb, maskf_pc_out, C_in):
+        w = self.param("weight", _kaiming, (27, C_in, self.features))
+        p = x_pb.shape[-1] // C_in
+        wext = _subm_ext_weight(w, p)
+        y = _conv2d_pb(_shift_ext(x_pb, C_in), wext).astype(x_pb.dtype)
+        return y * maskf_pc_out
+
+
+class _PackedBasicBlock(nn.Module):
+    """Scope twin of _DenseBasicBlock (conv1/norm1/conv2/norm2)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x_pb, maskf_pc, train: bool):
+        C = self.features
+        identity = x_pb
+        y = _PackedSubM(C, name="conv1")(x_pb, maskf_pc, C)
+        y = _PackedBN(C, name="norm1")(y, maskf_pc, train)
+        y = nn.relu(y)
+        y = _PackedSubM(C, name="conv2")(y, maskf_pc, C)
+        y = _PackedBN(C, name="norm2")(y, maskf_pc, train)
+        return nn.relu(y + identity) * maskf_pc
+
+
+class _StridedParamsTwin(nn.Module):
+    """Scope twin of _StridedParams / _DenseStrided: weight + norm/bn."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self, op, x_pb=None, maskf_pc=None, train=False):
+        w = self.param("weight", _kaiming, (27, self.cin, self.cout))
+        if op == "weight":
+            return w
+        return _PackedBN(self.cout, name="norm")(x_pb, maskf_pc, train)
+
+
+class PackedLiDAREnc8x(nn.Module):
+    """Z-packed twin of DenseLiDAREnc8x — same params, ~4x faster on TPU.
+
+    Input: a dense [B, X, Y, Z] bool occupancy grid (ops.voxelize.
+    voxelize_mask) or a batched SparseTensor. Output: [B, X/8, Y/8, Z/8,
+    out_channel] float32 dense features.
+    """
+    input_channel: int = 4
+    base_channel: int = 16
+    out_channel: int = 128
+    sparse_shape_xyz: Tuple[int, int, int] = (800, 800, 64)
+    capacity: int = 90000
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sp, train: bool = False):
+        b = self.base_channel
+        cd = self.compute_dtype
+        X0, Y0, Z0 = self.sparse_shape_xyz
+        assert b == 16, "level-0 collapse assumes GroupNorm(16, base=16)"
+
+        if isinstance(sp, SparseTensor):
+            mask0 = _dense_mask(sp, (X0, Y0, Z0))
+        else:
+            mask0 = sp
+        mask0f = mask0.astype(cd)  # [B, X0, Y0, Z0]
+
+        # --- level-0 collapse (see sparse_enc_dense.py): stem == relu(gn
+        # bias) at active cells; down1 reduces to mask-plane taps. Here the
+        # z taps are unrolled into ONE stride-2 conv2d weight.
+        w_stem = _WeightHolder((27, self.input_channel, b),
+                               name="conv_input")()  # ckpt parity
+        del w_stem
+        gn_mod = _PerCellGN(16, name="gn_input")
+        stem_const = nn.relu(gn_mod(jnp.zeros((1, b), jnp.float32),
+                                    jnp.ones((1,), bool))[0])
+        down1 = _StridedParamsTwin(b, b * 2, name="down1")
+        wd = down1("weight")  # [27, b, 2b]
+        w_eff = jnp.einsum("kio,i->ko", wd.astype(jnp.float32),
+                           stem_const)[:, None, :]  # [27, 1, 2b]
+
+        C1, Z1 = b * 2, Z0 // 2
+        d_lm = _conv2d(mask0f, _strided_weight(w_eff, Z0), 2).astype(cd)
+        cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
+        mask1_lm = cnt > 0.5  # [B, X1, Y1, Z1]
+
+        p1 = _pick_pack(C1, Z1)
+        d = _lm_to_pb(d_lm, Z1, C1, p1)
+        m1 = _mask_pb(mask1_lm, p1)
+        m1f = jnp.repeat(m1, C1, axis=-1).astype(cd)
+        d = down1("norm", d * m1f, m1f, train)
+        d = nn.relu(d)
+
+        d = _PackedBasicBlock(C1, name="res1_0")(d, m1f, train)
+        d = _PackedBasicBlock(C1, name="res1_1")(d, m1f, train)
+
+        mask_lm, Z, C, p = mask1_lm, Z1, C1, p1
+        for lvl in (2, 3):
+            C_out = C * 2
+            down = _StridedParamsTwin(C, C_out, name=f"down{lvl}")
+            wdn = down("weight")
+            d_lm = _pb_to_lm(d, C)
+            d_lm = _conv2d(d_lm, _strided_weight(wdn, Z), 2).astype(cd)
+            cnt = _conv2d(mask_lm.astype(cd), _dilate_weight(Z, cd), 2)
+            mask_lm = cnt > 0.5
+            Z, C = Z // 2, C_out
+            p = _pick_pack(C, Z)
+            d = _lm_to_pb(d_lm, Z, C, p)
+            mf = jnp.repeat(_mask_pb(mask_lm, p), C, axis=-1).astype(cd)
+            d = down("norm", d * mf, mf, train)
+            d = nn.relu(d)
+            d = _PackedBasicBlock(C, name=f"res{lvl}_0")(d, mf, train)
+            d = _PackedBasicBlock(C, name=f"res{lvl}_1")(d, mf, train)
+
+        Co = self.out_channel
+        mcell = _mask_pb(mask_lm, p)  # [B, bz, X, Y, p]
+        mof = jnp.repeat(mcell, Co, axis=-1).astype(cd)
+        d = _PackedSubM(Co, name="conv_out")(d, mof, C)
+        d5 = d.reshape(d.shape[:-1] + (p, Co))
+        g = _PerCellGN(16, name="gn_out")(d5.astype(jnp.float32), mcell)
+        g = nn.relu(g)
+        # packed [B, bz, X, Y, p, Co] -> dense [B, X, Y, Z, Co]
+        B, bz, Xs, Ys, _, _ = g.shape
+        out = jnp.transpose(g, (0, 2, 3, 1, 4, 5)).reshape(
+            B, Xs, Ys, bz * p, Co)
+        return out.astype(jnp.float32)

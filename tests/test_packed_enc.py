@@ -1,0 +1,74 @@
+"""PackedLiDAREnc8x must reproduce DenseLiDAREnc8x exactly (same params).
+
+The packed encoder recomputes the dense twin's masked conv3d stack as
+z-packed 2D convolutions; with identical parameter trees the outputs must
+match to float tolerance, in eval and train mode (including the running
+batch-stats updates)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coocc_tpu.nn.sparse_enc_dense import DenseLiDAREnc8x
+from coocc_tpu.nn.sparse_enc_packed import PackedLiDAREnc8x
+
+GRID = (32, 32, 8)
+
+
+def _mk(rng, B=2, occupancy=0.05):
+    mask = rng.rand(B, *GRID) < occupancy
+    return jnp.asarray(mask)
+
+
+def _encoders():
+    kw = dict(input_channel=4, base_channel=16, out_channel=128,
+              sparse_shape_xyz=GRID, capacity=64,
+              compute_dtype=jnp.float32)
+    return DenseLiDAREnc8x(**kw), PackedLiDAREnc8x(**kw)
+
+
+def test_packed_matches_dense_eval():
+    rng = np.random.RandomState(0)
+    mask0 = _mk(rng)
+    dense, packed = _encoders()
+    vs = packed.init(jax.random.PRNGKey(1), mask0, train=False)
+    # perturb params so the comparison is not trivially zero
+    vs = jax.tree.map(
+        lambda x: x + 0.05 * np.random.RandomState(2).standard_normal(
+            x.shape).astype(x.dtype) if x.dtype == jnp.float32 else x, vs)
+    out_d = dense.apply(vs, mask0, train=False)
+    out_p = packed.apply(vs, mask0, train=False)
+    assert out_p.shape == out_d.shape
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_matches_dense_train_stats():
+    rng = np.random.RandomState(3)
+    mask0 = _mk(rng)
+    dense, packed = _encoders()
+    vs = packed.init(jax.random.PRNGKey(4), mask0, train=True)
+    out_d, upd_d = dense.apply(vs, mask0, train=True,
+                               mutable=["batch_stats"])
+    out_p, upd_p = packed.apply(vs, mask0, train=True,
+                                mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-4)
+    flat_d = jax.tree_util.tree_leaves_with_path(upd_d["batch_stats"])
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(
+        upd_p["batch_stats"]))
+    assert len(flat_d) > 0
+    for path, leaf_d in flat_d:
+        leaf_p = flat_p[path]
+        np.testing.assert_allclose(np.asarray(leaf_p), np.asarray(leaf_d),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=str(path))
+
+
+def test_packed_empty_mask_finite():
+    mask0 = jnp.zeros((1, *GRID), bool)
+    _, packed = _encoders()
+    vs = packed.init(jax.random.PRNGKey(0), mask0, train=False)
+    out = packed.apply(vs, mask0, train=False)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.abs(out).max()) == 0.0
