@@ -212,9 +212,22 @@ def voxelize_mask(
     occ = jnp.zeros((num_cells,), bool).at[ids].set(True, mode="drop")
     if max_voxels is not None and max_voxels < num_cells:
         # id-order cap: keep the max_voxels smallest occupied ids (identical
-        # to voxelize()'s fast path whenever occupancy exceeds the cap)
-        rank = jnp.cumsum(occ.astype(jnp.int32))
-        occ = occ & (rank <= max_voxels)
+        # to voxelize()'s fast path whenever occupancy exceeds the cap).
+        # The 41M-element prefix sum runs as an MXU triangular matmul over
+        # lane-rows + a short row-offset scan (f32 accumulate => exact).
+        L = 1024
+        if num_cells % L == 0:
+            rows = occ.reshape(num_cells // L, L).astype(jnp.bfloat16)
+            tri = jnp.triu(jnp.ones((L, L), jnp.bfloat16))
+            pref = jax.lax.dot_general(
+                rows, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # inclusive per-row
+            roff = jnp.cumsum(pref[:, -1]) - pref[:, -1]
+            rank = pref + roff[:, None]
+            occ = occ & (rank <= max_voxels).reshape(-1)
+        else:
+            rank = jnp.cumsum(occ.astype(jnp.int32))
+            occ = occ & (rank <= max_voxels)
     return occ.reshape(nx, ny, nz)
 
 

@@ -96,3 +96,21 @@ def test_voxelize_mask_matches_voxelize(rng):
         got = voxelize_mask(jnp.asarray(pts), jnp.asarray(mask), pcr,
                             (1.0, 1.0, 1.0), grid, max_voxels=cap)
         np.testing.assert_array_equal(np.asarray(got).reshape(-1), ref)
+
+
+def test_voxelize_mask_matmul_rank_path(rng):
+    """Grid with num_cells % 1024 == 0 exercises the MXU prefix-sum path."""
+    from coocc_tpu.ops.voxelize import voxelize_mask
+
+    pts = rng.uniform(-7.9, 7.9, size=(3000, 5)).astype(np.float32)
+    pcr = (-8.0, -8.0, -2.0, 8.0, 8.0, 2.0)
+    grid = (16, 16, 4)  # 1024 cells
+    mask = np.ones(3000, bool)
+    for cap in (2048, 100):
+        out = voxelize(jnp.asarray(pts), jnp.asarray(mask), pcr,
+                       (1.0, 1.0, 1.0), grid, max_voxels=cap)
+        ref = np.zeros(1024, bool)
+        ref[np.asarray(out.ids)[np.asarray(out.mask)]] = True
+        got = voxelize_mask(jnp.asarray(pts), jnp.asarray(mask), pcr,
+                            (1.0, 1.0, 1.0), grid, max_voxels=cap)
+        np.testing.assert_array_equal(np.asarray(got).reshape(-1), ref)

@@ -39,9 +39,9 @@ def main():
     from coocc_tpu.nn.fpn3d import FPN3D
     from coocc_tpu.nn.occ_head import OccHead
     from coocc_tpu.nn.resnet3d import CustomResNet3D
-    from coocc_tpu.nn.sparse_enc_dense import DenseLiDAREnc8x
+    from coocc_tpu.nn.sparse_enc_packed import PackedLiDAREnc8x
     from coocc_tpu.ops.sparse_conv import SparseTensor
-    from coocc_tpu.ops.voxelize import voxelize
+    from coocc_tpu.ops.voxelize import voxelize_mask
     from coocc_tpu.utils.init_utils import jit_init
 
     cfg = get_config(args.config)
@@ -94,26 +94,21 @@ def main():
     pts_cfg = cfg.pts
     max_vox = pts_cfg.max_voxels_test
 
-    # ---- stage 1: voxelize ----
+    # ---- stage 1: voxelize (mask-only fast path, as the model uses) ----
     @jax.jit
     def s_vox(points, mask):
-        def vox_one(p, m):
-            return voxelize(p, m, cfg.point_cloud_range, pts_cfg.voxel_size,
-                            pts_cfg.sparse_shape_xyz, max_voxels=max_vox,
-                            max_points_per_voxel=pts_cfg.max_num_points,
-                            num_features=pts_cfg.input_channel)
-        return jax.vmap(vox_one)(points, mask)
+        return jax.vmap(lambda p, m: voxelize_mask(
+            p, m, cfg.point_cloud_range, pts_cfg.voxel_size,
+            pts_cfg.sparse_shape_xyz, max_voxels=max_vox))(points, mask)
 
     if want is None or "vox" in want:
-        print("voxelize:", flush=True)
+        print("voxelize_mask:", flush=True)
         report["voxelize"] = timed(s_vox, batch.points, batch.points_mask) - t_rt
         print(f"  -> {report['voxelize']*1e3:.1f} ms", flush=True)
-    v = jax.jit(s_vox)(batch.points, batch.points_mask)
-    sp = SparseTensor(ids=v.ids, features=v.features, mask=v.mask)
-    sp = jax.tree.map(lambda x: x.block_until_ready(), sp)
+    mask0 = s_vox(batch.points, batch.points_mask).block_until_ready()
 
-    # ---- stage 2: lidar encoder ----
-    enc = DenseLiDAREnc8x(
+    # ---- stage 2: lidar encoder (packed) ----
+    enc = PackedLiDAREnc8x(
         input_channel=pts_cfg.input_channel, base_channel=pts_cfg.base_channel,
         out_channel=pts_cfg.out_channel,
         sparse_shape_xyz=pts_cfg.sparse_shape_xyz, capacity=max_vox,
@@ -122,16 +117,14 @@ def main():
                 if "pts_middle_encoder" in t}
 
     @jax.jit
-    def s_enc(ev, ids, feats, mask):
-        return enc.apply(ev, SparseTensor(ids=ids, features=feats, mask=mask),
-                         train=False)
+    def s_enc(ev, m0):
+        return enc.apply(ev, m0, train=False)
 
     if want is None or "pts" in want:
         print("pts encoder:", flush=True)
-        report["pts_encoder"] = timed(
-            s_enc, enc_vars, sp.ids, sp.features, sp.mask) - t_rt
+        report["pts_encoder"] = timed(s_enc, enc_vars, mask0) - t_rt
         print(f"  -> {report['pts_encoder']*1e3:.1f} ms", flush=True)
-    pts_voxel = jax.jit(s_enc)(enc_vars, sp.ids, sp.features, sp.mask)
+    pts_voxel = s_enc(enc_vars, mask0)
     pts_voxel = pts_voxel.astype(dtype or jnp.float32).block_until_ready()
 
     # ---- stage 3: image branch (backbone+neck+depthnet+splat) ----
