@@ -72,25 +72,29 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     # are pure bandwidth. Offsets are processed in chunks; the chunk's best
     # two offset-ranks merge into a running best-2 (offsets are sorted by
     # distance, so smallest rank == nearest).
+    # Per chunk, the first/second ACTIVE plane along the (distance-sorted)
+    # offset axis are found with two bool argmaxes — all-bool traffic until
+    # the tiny [n] merge, ~6x less HBM than an i32 where/min/argmin chain.
     CH = 81
     best1 = jnp.full((n,), BIG)
     best2 = jnp.full((n,), BIG)
     for c0 in range(0, O, CH):
         chunk = offsets[c0:c0 + CH]
+        ch = chunk.shape[0]
         planes = jnp.stack([
             jax.lax.dynamic_slice(
                 padded, (int(dx) + rx, int(dy) + ry, int(dz) + rz),
                 (X, Y, Z)).reshape(n)
             for dx, dy, dz in chunk
         ])  # [ch, n] bool
-        ranks = (c0 + jax.lax.broadcasted_iota(jnp.int32, planes.shape, 0))
-        vals = jnp.where(planes, ranks, BIG)
-        m1 = jnp.min(vals, axis=0)
-        a1 = jnp.argmin(vals, axis=0)
-        vals2 = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == a1[None],
-            BIG, vals)
-        m2 = jnp.min(vals2, axis=0)
+        any1 = jnp.any(planes, axis=0)
+        a1 = jnp.argmax(planes, axis=0)  # first active (or 0 if none)
+        planes2 = planes & (
+            jax.lax.broadcasted_iota(jnp.int32, planes.shape, 0) != a1[None])
+        any2 = jnp.any(planes2, axis=0)
+        a2 = jnp.argmax(planes2, axis=0)
+        m1 = jnp.where(any1, c0 + a1.astype(jnp.int32), BIG)
+        m2 = jnp.where(any2, c0 + a2.astype(jnp.int32), BIG)
         # merge two sorted pairs (best1<=best2, m1<=m2)
         lo = jnp.minimum(best1, m1)
         hi = jnp.minimum(jnp.maximum(best1, m1), jnp.minimum(best2, m2))

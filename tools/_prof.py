@@ -1,0 +1,77 @@
+"""Shared on-chip timing helpers (axon-relay-safe).
+
+The relay's scalar-readback round-trip is large AND noisy (27-67 ms
+observed), so single-shot subtract-the-baseline timings are unreliable.
+timed_scan runs the stage K times inside ONE jit via lax.scan with a
+carry-dependent input perturbation (forces sequential re-execution, defeats
+loop-invariant hoisting), so the round-trip amortizes to noise/K.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _readback(x):
+    return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
+
+
+def make_timer(reps: int = 3, iters: int = 8):
+    measured_rt = {}
+
+    @jax.jit
+    def trivial(x):
+        return (x * 2.0).sum()
+
+    _readback(trivial(jnp.ones((8, 128))))
+
+    def round_trip():
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _readback(trivial(jnp.ones((8, 128))))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    def timed(name, fn, *args, flops=None):
+        """fn(*args) -> arbitrary pytree; returns seconds per call."""
+
+        def scanned(*a):
+            def body(c, _):
+                # carry-dependent zero-perturbation of the first float arg
+                pert = c * 0.0
+                aa = list(a)
+                for i, x in enumerate(aa):
+                    if hasattr(x, "dtype") and jnp.issubdtype(
+                            jnp.asarray(x).dtype, jnp.floating):
+                        aa[i] = x + pert.astype(x.dtype)
+                        break
+                out = fn(*aa)
+                leaf = jax.tree.leaves(out)[0]
+                s = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                return c + s, None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return c
+
+        jfn = jax.jit(scanned)
+        t0 = time.perf_counter()
+        _readback(jfn(*args))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _readback(jfn(*args))
+            ts.append(time.perf_counter() - t0)
+        rt = round_trip()
+        dt = (float(np.median(ts)) - rt) / iters
+        msg = f"{name:30s} {dt*1e3:8.2f} ms"
+        if flops:
+            msg += f"  {flops/dt/1e12:6.1f} TFLOP/s"
+        print(msg + f"   [compile {compile_s:.0f}s, rt {rt*1e3:.0f}ms]",
+              flush=True)
+        return dt
+
+    return timed

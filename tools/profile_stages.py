@@ -72,23 +72,13 @@ def main():
     xsmall = jnp.ones((8, 128))
     float(trivial(xsmall))
 
-    def readback(out):
-        leaf = jax.tree.leaves(out)[0]
-        return float(leaf.reshape(-1)[0].astype(jnp.float32))
+    from tools._prof import make_timer
+    _timed = make_timer()
 
     def timed(fn, *a):
-        t0 = time.perf_counter()
-        readback(fn(*a))
-        print(f"    [compile+run {time.perf_counter()-t0:.0f}s]", flush=True)
-        ts = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            readback(fn(*a))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return _timed("stage", fn, *a)
 
-    t_rt = timed(trivial, xsmall)
-    print(f"relay round-trip: {t_rt*1e3:.1f} ms", flush=True)
+    t_rt = 0.0
     report = {}
 
     pts_cfg = cfg.pts
