@@ -264,6 +264,7 @@ class PackedLiDAREnc8x(nn.Module):
     sparse_shape_xyz: Tuple[int, int, int] = (800, 800, 64)
     capacity: int = 90000
     compute_dtype: Any = jnp.float32
+    stop_after: Optional[str] = None  # profiling: stem|res1|res2|res3
 
     @nn.compact
     def __call__(self, sp, train: bool = False):
@@ -303,9 +304,13 @@ class PackedLiDAREnc8x(nn.Module):
         m1f = jnp.repeat(m1, C1, axis=-1).astype(cd)
         d = down1("norm", d * m1f, m1f, train)
         d = nn.relu(d)
+        if self.stop_after == "stem":
+            return d
 
         d = _PackedBasicBlock(C1, name="res1_0")(d, m1f, train)
         d = _PackedBasicBlock(C1, name="res1_1")(d, m1f, train)
+        if self.stop_after == "res1":
+            return d
 
         mask_lm, Z, C, p = mask1_lm, Z1, C1, p1
         for lvl in (2, 3):
@@ -324,6 +329,8 @@ class PackedLiDAREnc8x(nn.Module):
             d = nn.relu(d)
             d = _PackedBasicBlock(C, name=f"res{lvl}_0")(d, mf, train)
             d = _PackedBasicBlock(C, name=f"res{lvl}_1")(d, mf, train)
+            if self.stop_after == f"res{lvl}":
+                return d
 
         Co = self.out_channel
         mcell = _mask_pb(mask_lm, p)  # [B, bz, X, Y, p]

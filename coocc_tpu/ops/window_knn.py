@@ -67,38 +67,35 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     n = X * Y * Z
     BIG = jnp.int32(O)
 
-    # Shifted activity planes come from PAD + SLICE (contiguous copies):
-    # a flat gather of O*n elements costs ~0.5 s at the r50 shapes, slices
-    # are pure bandwidth. Offsets are processed in chunks; the chunk's best
-    # two offset-ranks merge into a running best-2 (offsets are sorted by
-    # distance, so smallest rank == nearest).
-    # Per chunk, the first/second ACTIVE plane along the (distance-sorted)
-    # offset axis are found with two bool argmaxes — all-bool traffic until
-    # the tiny [n] merge, ~6x less HBM than an i32 where/min/argmin chain.
-    CH = 81
-    best1 = jnp.full((n,), BIG)
-    best2 = jnp.full((n,), BIG)
-    for c0 in range(0, O, CH):
-        chunk = offsets[c0:c0 + CH]
-        ch = chunk.shape[0]
-        planes = jnp.stack([
-            jax.lax.dynamic_slice(
-                padded, (int(dx) + rx, int(dy) + ry, int(dz) + rz),
-                (X, Y, Z)).reshape(n)
-            for dx, dy, dz in chunk
-        ])  # [ch, n] bool
-        any1 = jnp.any(planes, axis=0)
-        a1 = jnp.argmax(planes, axis=0)  # first active (or 0 if none)
-        planes2 = planes & (
-            jax.lax.broadcasted_iota(jnp.int32, planes.shape, 0) != a1[None])
-        any2 = jnp.any(planes2, axis=0)
-        a2 = jnp.argmax(planes2, axis=0)
-        m1 = jnp.where(any1, c0 + a1.astype(jnp.int32), BIG)
-        m2 = jnp.where(any2, c0 + a2.astype(jnp.int32), BIG)
-        # merge two sorted pairs (best1<=best2, m1<=m2)
-        lo = jnp.minimum(best1, m1)
-        hi = jnp.minimum(jnp.maximum(best1, m1), jnp.minimum(best2, m2))
-        best1, best2 = lo, hi
+    # Build ALL window planes with ~(2rx + 2ry + 2rz + 3) hierarchical
+    # slices (a per-offset loop costs >1000 op launches), then find the two
+    # smallest DISTANCE-RANKS among active planes: i16 rank constants are
+    # looked up through the raster -> distance-rank permutation.
+    zs = jnp.stack([padded[:, :, dz:dz + Z] for dz in range(2 * rz + 1)])
+    ys = jnp.stack([zs[:, :, dy:dy + Y] for dy in range(2 * ry + 1)])
+    xs = jnp.stack([ys[:, :, dx:dx + X] for dx in range(2 * rx + 1)])
+    # xs: [2rx+1, 2ry+1, 2rz+1, X, Y, Z] raster-ordered window planes
+    n_planes = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
+    planes = xs.reshape(n_planes, n)
+
+    # raster position of each (distance-sorted, thresh-clipped) offset row;
+    # window cells beyond dist_thresh never got an offset row -> rank BIG
+    raster = ((offsets[:, 0] + rx) * (2 * ry + 1)
+              + (offsets[:, 1] + ry)) * (2 * rz + 1) + (offsets[:, 2] + rz)
+    I16BIG = np.int16(np.iinfo(np.int16).max)
+    rank_of_raster = np.full(n_planes, I16BIG, np.int16)
+    rank_of_raster[raster] = np.arange(O, dtype=np.int16)
+    ranks = jnp.asarray(rank_of_raster)[:, None]  # [n_planes, 1] i16
+
+    vals = jnp.where(planes, ranks, I16BIG)  # [n_planes, n] i16
+    best1_16 = jnp.min(vals, axis=0)
+    a1 = jnp.argmin(vals, axis=0)
+    vals2 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == a1[None],
+        I16BIG, vals)
+    best2_16 = jnp.min(vals2, axis=0)
+    best1 = jnp.minimum(best1_16.astype(jnp.int32), BIG)
+    best2 = jnp.minimum(best2_16.astype(jnp.int32), BIG)
 
     # neighbour linear id = cell id + per-offset delta (out-of-range offsets
     # are never active in `padded`, so wraparound ids are never selected)

@@ -41,14 +41,17 @@ def make_timer(reps: int = 3, iters: int = 8):
 
         def scanned(*a):
             def body(c, _):
-                # carry-dependent zero-perturbation of the first float arg
+                # carry-dependent zero-perturbation of EVERY float leaf, so
+                # no input-dependent compute is loop-invariant (hoistable)
                 pert = c * 0.0
-                aa = list(a)
-                for i, x in enumerate(aa):
+
+                def bump(x):
                     if hasattr(x, "dtype") and jnp.issubdtype(
                             jnp.asarray(x).dtype, jnp.floating):
-                        aa[i] = x + pert.astype(x.dtype)
-                        break
+                        return x + pert.astype(x.dtype)
+                    return x
+
+                aa = jax.tree.map(bump, list(a))
                 out = fn(*aa)
                 leaf = jax.tree.leaves(out)[0]
                 s = jnp.sum(leaf.astype(jnp.float32)) * 1e-30

@@ -107,14 +107,18 @@ def main():
                 if "pts_middle_encoder" in t}
 
     @jax.jit
-    def s_enc(ev, m0):
+    def s_enc(ev, points, mask):
+        m0 = jax.vmap(lambda p, m: voxelize_mask(
+            p, m, cfg.point_cloud_range, pts_cfg.voxel_size,
+            pts_cfg.sparse_shape_xyz, max_voxels=max_vox))(points, mask)
         return enc.apply(ev, m0, train=False)
 
     if want is None or "pts" in want:
-        print("pts encoder:", flush=True)
-        report["pts_encoder"] = timed(s_enc, enc_vars, mask0) - t_rt
-        print(f"  -> {report['pts_encoder']*1e3:.1f} ms", flush=True)
-    pts_voxel = s_enc(enc_vars, mask0)
+        print("pts branch (vox+enc):", flush=True)
+        report["pts_branch"] = timed(
+            s_enc, enc_vars, batch.points, batch.points_mask) - t_rt
+        print(f"  -> {report['pts_branch']*1e3:.1f} ms", flush=True)
+    pts_voxel = s_enc(enc_vars, batch.points, batch.points_mask)
     pts_voxel = pts_voxel.astype(dtype or jnp.float32).block_until_ready()
 
     # ---- stage 3: image branch (backbone+neck+depthnet+splat) ----
