@@ -89,10 +89,9 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
 
     vals = jnp.where(planes, ranks, I16BIG)  # [n_planes, n] i16
     best1_16 = jnp.min(vals, axis=0)
-    a1 = jnp.argmin(vals, axis=0)
-    vals2 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) == a1[None],
-        I16BIG, vals)
+    # ranks are unique, so masking by value-equality (one pass) replaces the
+    # argmin+iota-compare construction of the second-best
+    vals2 = jnp.where(vals == best1_16[None], I16BIG, vals)
     best2_16 = jnp.min(vals2, axis=0)
     best1 = jnp.minimum(best1_16.astype(jnp.int32), BIG)
     best2 = jnp.minimum(best2_16.astype(jnp.int32), BIG)
