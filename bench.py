@@ -57,7 +57,11 @@ def main():
 
     @jax.jit
     def fwd(variables, batch):
-        return model.apply(variables, batch, train=False)["occ"].sum()
+        # reduce EVERY model output (coarse occ + the fine cascade) so XLA
+        # cannot dead-code-eliminate the cascade the eval path depends on
+        outs = model.apply(variables, batch, train=False)
+        return sum(jnp.sum(jnp.abs(v.astype(jnp.float32)))
+                   for v in jax.tree.leaves(outs))
 
     @jax.jit
     def trivial(x):

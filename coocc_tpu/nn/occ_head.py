@@ -27,6 +27,31 @@ from ..ops.interpolate import resize_trilinear_chlast
 from .layers import BatchNorm, Conv3d, GroupNorm, Linear
 
 
+class _LinearParams(nn.Module):
+    """Bare kernel/bias with Linear's exact tree (<name>/linear/{kernel,bias}).
+
+    Lets the cascade fold the (linear) fc matrices into the sampled feature
+    TABLES instead of applying them after the gathers — the gathers then move
+    half the bytes. Mathematically identical: trilinear/bilinear sampling and
+    the camera-sum are linear maps, so sample(T) @ W == sample(T @ W).
+    """
+    features: int
+
+    class _Inner(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self, cin):
+            k = self.param("kernel", nn.initializers.lecun_normal(),
+                           (cin, self.features))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            return k, b
+
+    @nn.compact
+    def __call__(self, cin):
+        return _LinearParams._Inner(self.features, name="linear")(cin)
+
+
 class _OccConv(nn.Module):
     mid: int
     dtype: Any = None
@@ -192,13 +217,24 @@ class OccHead(nn.Module):
             imf = None
 
         # instantiate shared submodules once; the per-sample loop below calls
-        # the same instances (linen shares their params across calls)
-        img_mlp_fc = Linear(64, dtype=self.dtype, name="img_mlp_fc")
-        img_mlp_gn = GroupNorm(16, name="img_mlp_gn")
-        fine_fc1 = Linear(64, dtype=self.dtype, name="fine_mlp_fc1")
+        # the same instances (linen shares their params across calls).
+        # fc weights are FOLDED INTO THE SAMPLED TABLES (see _LinearParams):
+        # the gathers then move 64-dim instead of 128-dim rows.
+        cd = self.dtype or jnp.float32
+        Cvox = blended.shape[-1] if cfg.sample_from_voxel else 0
+        Cimg = 64 if (cfg.sample_from_img and imf is not None) else 0
+        k1, b1 = _LinearParams(64, name="fine_mlp_fc1")(Cvox + Cimg)
         fine_gn = GroupNorm(16, name="fine_mlp_gn")
         fine_fc2 = Linear(cfg.out_channel, dtype=self.dtype,
                           name="fine_mlp_fc2")
+        if Cimg:
+            kf, bf = _LinearParams(64, name="img_mlp_fc")(imf.shape[-1])
+            img_mlp_gn = GroupNorm(16, name="img_mlp_gn")
+            # pre-transform the per-cam tables: sample(T @ W) == sample(T) @ W
+            imf = jnp.einsum("bnhwc,cd->bnhwd", imf, kf.astype(cd))
+        if Cvox:
+            blended_t = jnp.einsum("bxyzc,cd->bxyzd", blended,
+                                   k1[:Cvox].astype(cd))
 
         occ_mask = jnp.argmax(logits, axis=-1) != cfg.empty_idx  # [B, X, Y, Z]
 
@@ -207,7 +243,7 @@ class OccHead(nn.Module):
             coords, valid = select_occupied(mask_b, cap, rng_b)
             fine = fine_coordinates(coords, ratio)  # [cap*r^3, 3]
             fvalid = jnp.repeat(valid, ratio ** 3)
-            feats = []
+            acc = b1.astype(jnp.float32)
             if cfg.sample_from_voxel:
                 norm = (fine.astype(jnp.float32)
                         / (jnp.array([W_occ, H_occ, D_occ], jnp.float32) - 1)
@@ -216,8 +252,8 @@ class OccHead(nn.Module):
                 vol = jnp.transpose(blended_b, (2, 1, 0, 3))
                 sampled = grid_sample_3d(vol, norm, align_corners=False,
                                          padding_mode="zeros")
-                feats.append(sampled)
-            if cfg.sample_from_img and imf_b is not None:
+                acc = acc + sampled.astype(jnp.float32)
+            if Cimg:
                 rots, trans, intrins, post_rots, post_trans, bda = tr_b
                 uv, m = project_points_on_img(
                     fine.astype(jnp.float32), rots, trans, intrins,
@@ -228,12 +264,11 @@ class OccHead(nn.Module):
                 s = jax.vmap(
                     lambda img, g: grid_sample_2d(img, g, align_corners=True,
                                                   padding_mode="zeros")
-                )(imf_b, uv)  # [N, P, 128]
-                s = (s * m[..., None]).sum(0)  # [P, 128]
-                s = nn.relu(img_mlp_gn(img_mlp_fc(s)))
-                feats.append(s)
-            x = jnp.concatenate(feats, axis=-1)
-            x = nn.relu(fine_gn(fine_fc1(x)))
+                )(imf_b, uv)  # [N, P, 64]
+                s = (s * m[..., None]).sum(0) + bf.astype(cd)  # [P, 64]
+                s = nn.relu(img_mlp_gn(s))
+                acc = acc + (s @ k1[Cvox:].astype(cd)).astype(jnp.float32)
+            x = nn.relu(fine_gn(acc))
             x = fine_fc2(x)
             return x, fine, fvalid
 
@@ -244,7 +279,8 @@ class OccHead(nn.Module):
             rng_b = None if fine_rng is None else jax.random.fold_in(fine_rng, b)
             tr_b = None if transform is None else tuple(t[b] for t in transform)
             imf_b = None if imf is None else imf[b]
-            fl, fc, fv = per_sample((occ_mask[b], blended[b], imf_b, tr_b,
+            bl_b = blended_t[b] if Cvox else None
+            fl, fc, fv = per_sample((occ_mask[b], bl_b, imf_b, tr_b,
                                      rng_b))
             fine_logits.append(fl)
             fine_coords.append(fc)
