@@ -64,3 +64,21 @@ def validate_semkitti_submission(root: str) -> bool:
             if labels.size != 256 * 256 * 32:
                 ok = False
     return ok
+
+
+def validate_lidarseg_submission(root: str, num_classes: int = 17) -> bool:
+    """Official-format check (reference:
+    projects/mmdet3d_plugin/tools/validate_lidarseg_submission.py): every
+    lidarseg .bin must be non-empty uint8 with labels in [1, num_classes-1]
+    (0 is the ignore/noise class and must not be predicted)."""
+    d = os.path.join(root, "lidarseg", "test")
+    if not os.path.isdir(d):
+        return False
+    ok = True
+    for f in os.listdir(d):
+        if not f.endswith("_lidarseg.bin"):
+            continue
+        labels = np.fromfile(os.path.join(d, f), dtype=np.uint8)
+        if labels.size == 0 or labels.min() < 1 or labels.max() >= num_classes:
+            ok = False
+    return ok
