@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config.base import OccHeadConfig
-from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.grid_sample import (grid_sample_2d, grid_sample_3d,
+                               multicam_grid_sample_2d)
 from ..ops.interpolate import resize_trilinear_chlast
 from .layers import BatchNorm, Conv3d, GroupNorm, Linear
 
@@ -261,10 +262,9 @@ class OccHead(nn.Module):
                     pts_range=cfg.point_cloud_range, img_hw=cfg.input_size,
                     occ_whd=(W_occ, H_occ, D_occ),
                     data_type=cfg.data_type)
-                s = jax.vmap(
-                    lambda img, g: grid_sample_2d(img, g, align_corners=True,
-                                                  padding_mode="zeros")
-                )(imf_b, uv)  # [N, P, 64]
+                s = multicam_grid_sample_2d(
+                    imf_b, uv, align_corners=True,
+                    padding_mode="zeros")  # [N, P, 64]
                 s = (s * m[..., None]).sum(0) + bf.astype(cd)  # [P, 64]
                 s = nn.relu(img_mlp_gn(s))
                 acc = acc + (s @ k1[Cvox:].astype(cd)).astype(jnp.float32)

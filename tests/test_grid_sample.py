@@ -68,3 +68,20 @@ def test_bilinear_resize_parity(rng):
             got = np.asarray(resize_bilinear_chlast(
                 jnp.asarray(x), size, align_corners=ac))
             np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multicam_matches_vmapped():
+    import jax
+    from coocc_tpu.ops.grid_sample import (grid_sample_2d,
+                                           multicam_grid_sample_2d)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(3, 5, 7, 4).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, (3, 11, 2)).astype(np.float32))
+    for ac in (True, False):
+        for pm in ("zeros", "border"):
+            ref = jax.vmap(lambda im, g: grid_sample_2d(
+                im, g, align_corners=ac, padding_mode=pm))(imgs, grid)
+            got = multicam_grid_sample_2d(imgs, grid, align_corners=ac,
+                                          padding_mode=pm)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
