@@ -120,9 +120,13 @@ class PtsBranchConfig:
     max_points: int = 350000            # static capacity for the padded point cloud
     num_point_features: int = 5         # x, y, z, intensity, dt
     encoder: str = "SparseLiDAREnc8x"   # | 'SparseLiDAREnc4x' | 'SparseEncoderHD'
-    # 'dense' = masked dense conv3d (TPU fast path), 'gather' = gather-GEMM
-    # sparse engine (same params; see nn/sparse_enc_dense.py)
-    impl: str = "packed"
+    # 'packed' = z-packed conv2d (TPU fast path), 'dense' = masked dense
+    # conv3d, 'gather' = gather-GEMM sparse engine (same params; see
+    # nn/sparse_enc_{packed,dense}.py). 'auto' resolves to 'packed' for
+    # SparseLiDAREnc8x (the only encoder with a packed/dense twin) and
+    # 'gather' otherwise; an explicit 'packed'/'dense' with another encoder
+    # raises in CoOccRay._pts_voxels.
+    impl: str = "auto"
     input_channel: int = 4
     base_channel: int = 16
     out_channel: int = 128
@@ -241,6 +245,13 @@ class CoOccConfig:
     loss_norm: bool = True
     use_camera: bool = True
     use_lidar: bool = True
+    # GT label layout: 'surroundocc' = occ_path/samples/{token}.npy sparse
+    # [x,y,z,cls] (ref LoadOccupancy loading.py:18-174); 'openoccupancy' =
+    # occ_path/scene_{scene}/occupancy/{lidar_token}.npy sparse [z,y,x,cls]
+    # with world<->voxel + BDA transform (ref LoadOccupancy2 :176-393)
+    gt_format: str = "surroundocc"
+    # static capacity for the padded lidarseg point cloud (points_occ)
+    points_occ_capacity: int = 40000
 
     data: DataConfig = field(default_factory=DataConfig)
     grid: GridConfig = field(default_factory=GridConfig)

@@ -96,6 +96,7 @@ def coocc_multi_r101_openoccupancy() -> CoOccConfig:
     base = coocc_multi_r50_256x704()
     return base.replace(
         name="coocc_multi_r101_openoccupancy",
+        gt_format="openoccupancy",
         point_cloud_range=pc_range,
         occ_size=occ_size,
         lss_downsample=lss_ds,

@@ -5,8 +5,8 @@ Capability parity with CustomNuScenesOccLSSDataset + its pipeline
 pipeline order coocc_multi_r50_256x704.py:191-223: load points (+10 sweeps),
 load/aug images, LiDAR->depth maps, occupancy GT). TPU adaptation: every
 sample is padded to static shapes (points capacity, fixed cams) so jit
-compiles once; the loader is a simple prefetching generator (one host feeds
-one chip per the reference's samples_per_gpu=1).
+compiles once. Batching/prefetch live in data/loader.py (threaded prefetch
++ per-host index sharding, the DataLoader/DistributedSampler equivalent).
 """
 from __future__ import annotations
 
@@ -67,16 +67,49 @@ def pad_points(points: np.ndarray, capacity: int):
     return out, mask
 
 
+def camera_free_geometry(cam_infos: Dict, data_cfg) -> Dict:
+    """Per-camera calibration + deterministic (test-style) post homography
+    without loading any image — the lidar-only config's rendering geometry
+    (reference: lidar2depth.py:90-178 builds the same tuple with zero
+    images and default augmentation)."""
+    from .pipelines.image_loading import img_transform, sample_augmentation
+    H_src, W_src = data_cfg.src_size
+    rots, trans, intrins, post_rots, post_trans = [], [], [], [], []
+    from PIL import Image
+    dummy = Image.new("L", (W_src, H_src))
+    for cam_name in data_cfg.cams:
+        cam = cam_infos[cam_name]
+        sensor2lidar = np.linalg.inv(np.asarray(cam["lidar2cam"], np.float64))
+        augs = sample_augmentation(H_src, W_src, data_cfg, is_train=False)
+        _, pr2, pt2 = img_transform(dummy, *augs)
+        post_rot = np.eye(3, dtype=np.float32)
+        post_tran = np.zeros(3, np.float32)
+        post_rot[:2, :2] = pr2
+        post_tran[:2] = pt2
+        rots.append(sensor2lidar[:3, :3].astype(np.float32))
+        trans.append(sensor2lidar[:3, 3].astype(np.float32))
+        intrins.append(np.asarray(cam["cam_intrinsic"], np.float32))
+        post_rots.append(post_rot)
+        post_trans.append(post_tran)
+    return {
+        "rots": np.stack(rots), "trans": np.stack(trans),
+        "intrins": np.stack(intrins), "post_rots": np.stack(post_rots),
+        "post_trans": np.stack(post_trans),
+    }
+
+
 class NuScenesOccDataset:
     """Reads nuscenes_infos_temporal_{train,val}.pkl and produces samples."""
 
     def __init__(self, cfg: CoOccConfig, data_root: str, ann_file: str,
                  occ_path: str, is_train: bool,
-                 bda_aug_conf: Optional[Dict] = None):
+                 bda_aug_conf: Optional[Dict] = None,
+                 cal_visible: bool = False):
         self.cfg = cfg
         self.data_root = data_root
         self.occ_path = occ_path
         self.is_train = is_train
+        self.cal_visible = cal_visible
         self.bda_aug_conf = bda_aug_conf or DEFAULT_BDA
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
@@ -116,11 +149,16 @@ class NuScenesOccDataset:
             imgs = load_multi_view_images(cam_infos, cfg.data, self.is_train,
                                           rng)
             out.update(imgs)
+        elif cfg.render.use_rendering:
+            # camera-free geometry branch (reference: lidar2depth.py:90-178
+            # builds per-camera calib + depth maps without loading images so
+            # the lidar-only model can still render depth)
+            out.update(camera_free_geometry(cam_infos, cfg.data))
 
         # --- LiDAR points (+ sweeps)
         points = load_points_with_sweeps(info, rng=rng,
                                          test_mode=not self.is_train)
-        if cfg.use_camera:
+        if "rots" in out:
             H, W = cfg.data.input_size
             raw = np.fromfile(info["lidar_path"],
                               dtype=np.float32).reshape(-1, 5)[:, :3]
@@ -136,12 +174,49 @@ class NuScenesOccDataset:
         out["bda"] = bda
         points[:, :3] = points[:, :3] @ bda.T
 
-        token = os.path.basename(info["lidar_path"])
-        occ_file = os.path.join(self.occ_path, "samples", f"{token}.npy")
-        if os.path.exists(occ_file):
-            out["gt_occ"] = load_surroundocc_gt(occ_file, cfg.occ_size)
+        if cfg.gt_format == "openoccupancy":
+            from .pipelines.load_occupancy import (
+                load_openoccupancy_gt, visible_mask_camera,
+                visible_mask_lidar)
+            dense, occ_world, trans_vox, _ = load_openoccupancy_gt(
+                self.occ_path, info["scene_token"], info["lidar_token"],
+                cfg.occ_size, cfg.point_cloud_range, bda,
+                return_coords=True)
+            out["gt_occ"] = dense
+            if self.cal_visible:
+                vis = visible_mask_lidar(points, cfg.point_cloud_range,
+                                         cfg.occ_size)
+                if "rots" in out:
+                    vis = vis | visible_mask_camera(
+                        occ_world, trans_vox, out["rots"], out["trans"],
+                        out["intrins"], out["post_rots"], out["post_trans"],
+                        cfg.data.input_size, cfg.occ_size)
+                out["visible_mask"] = vis
         else:
-            out["gt_occ"] = np.zeros(cfg.occ_size, np.int64)
+            token = os.path.basename(info["lidar_path"])
+            occ_file = os.path.join(self.occ_path, "samples", f"{token}.npy")
+            if os.path.exists(occ_file):
+                out["gt_occ"] = load_surroundocc_gt(occ_file, cfg.occ_size)
+            else:
+                out["gt_occ"] = np.zeros(cfg.occ_size, np.int64)
+
+        # --- lidarseg point labels (points_occ) for the aux readout
+        # (reference: LoadOccupancy2 loading.py:233-241 / LoadNuscOccupancy-
+        # Annotations loading_nusc_occ.py:16-155; eval coocc_ray.py:556-560)
+        lseg = info.get("lidarseg")
+        if lseg is not None:
+            from ..config.nuscenes import learning_map_array
+            path = lseg if os.path.isabs(lseg) \
+                else os.path.join(self.data_root, lseg)
+            if os.path.exists(path):
+                labels = np.fromfile(path, dtype=np.uint8)
+                labels = learning_map_array()[labels]
+                raw = np.fromfile(info["lidar_path"],
+                                  dtype=np.float32).reshape(-1, 5)[:, :3]
+                pts_occ = np.concatenate(
+                    [raw @ bda.T, labels[:, None].astype(np.float32)], axis=1)
+                out["points_occ"], out["points_occ_mask"] = pad_points(
+                    pts_occ.astype(np.float32), cfg.points_occ_capacity)
 
         if cfg.use_lidar:
             cap = cfg.pts.max_points
@@ -159,32 +234,36 @@ def collate(samples, cfg: CoOccConfig):
     kw = {}
     for k in keys:
         kw[k] = np.stack([s[k] for s in samples])
-    if "gt_occ" in kw:
-        kw["gt_occ"] = kw["gt_occ"].astype(np.int32)
+    for k in ("gt_occ", "gt_occ_2"):
+        if k in kw:
+            kw[k] = kw[k].astype(np.int32)
     return Batch(**kw)
 
 
 def build_loaders(cfg: CoOccConfig, data_root: str, ann_file: str,
                   val_ann_file: str, occ_path: str, batch_size: int = 1,
-                  seed: int = 0):
-    """Returns (train_iter_fn, val_iter_fn, steps_per_epoch)."""
+                  seed: int = 0, num_workers: int = 2):
+    """Returns (train_iter_fn, val_iter_fn, steps_per_epoch) backed by the
+    threaded prefetch loader with per-host sharding (data/loader.py)."""
+    from .loader import prefetch_batches
+
     train_ds = NuScenesOccDataset(cfg, data_root, ann_file, occ_path,
                                   is_train=True)
     val_ds = NuScenesOccDataset(cfg, data_root, val_ann_file, occ_path,
                                 is_train=False)
     steps = len(train_ds) // batch_size
+    epoch_box = {"train": 0}
 
     def train_iter():
-        rng = np.random.RandomState(seed)
-        order = rng.permutation(len(train_ds))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            samples = [train_ds.get_sample(order[i + j], rng)
-                       for j in range(batch_size)]
-            yield collate(samples, cfg)
+        e = epoch_box["train"]
+        epoch_box["train"] += 1
+        return prefetch_batches(train_ds, cfg, batch_size, epoch=e,
+                                is_train=True, seed=seed,
+                                num_workers=num_workers)
 
     def val_iter():
-        for i in range(0, len(val_ds) - batch_size + 1, batch_size):
-            samples = [val_ds.get_sample(i + j) for j in range(batch_size)]
-            yield collate(samples, cfg)
+        return prefetch_batches(val_ds, cfg, batch_size, epoch=0,
+                                is_train=False, seed=seed,
+                                num_workers=num_workers)
 
     return train_iter, val_iter, steps

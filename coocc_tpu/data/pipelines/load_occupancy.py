@@ -98,3 +98,95 @@ def world_to_voxel(points: np.ndarray, pc_range, voxel_size) -> np.ndarray:
     pcr = np.asarray(pc_range)
     vs = np.asarray(voxel_size)
     return np.floor((points - pcr[:3]) / vs).astype(np.int64)
+
+
+def load_openoccupancy_gt(occ_path: str, scene_token: str, lidar_token: str,
+                          grid_size, pc_range,
+                          bda_rot: Optional[np.ndarray] = None,
+                          return_coords: bool = False):
+    """OpenOccupancy per-scene sparse labels -> dense [X, Y, Z] grid.
+
+    Reference LoadOccupancy2 (loading.py:265-294): loads
+    `scene_{token}/occupancy/{lidar_token}.npy` rows [z, y, x, cls] (or
+    [z, y, x, vx, vy, vz, cls]), maps cls 0 -> 255 ignore, converts voxel
+    centers to world (voxel2world with +0.5), applies BDA, converts back
+    (world2voxel), clips into the grid, then majority-vote densifies.
+
+    return_coords=True additionally returns (world_coords_pre_bda,
+    transformed_voxel_coords, labels) for the visible-mask computation.
+    """
+    import os
+    rel = f"scene_{scene_token}/occupancy/{lidar_token}.npy"
+    pcd = np.load(os.path.join(occ_path, rel))
+    labels = pcd[..., -1].astype(np.int64).copy()
+    labels[labels == 0] = 255
+    vs = (np.asarray(pc_range[3:]) - np.asarray(pc_range[:3])) \
+        / np.asarray(grid_size)
+    world = (pcd[..., [2, 1, 0]].astype(np.float64) + 0.5) * vs[None] \
+        + np.asarray(pc_range[:3])[None]
+    untransformed = world.copy()
+    if bda_rot is not None:
+        world = world @ np.asarray(bda_rot, np.float64).T
+    vox = (world - np.asarray(pc_range[:3])[None]) / vs[None]
+    vox = np.clip(vox, 0, np.asarray(grid_size) - 1).astype(np.int64)
+    dense = majority_vote_densify(vox, labels, grid_size)
+    if return_coords:
+        return dense, untransformed, vox, labels
+    return dense
+
+
+def visible_mask_lidar(points: np.ndarray, pc_range, grid_size) -> np.ndarray:
+    """Voxels containing at least one LiDAR point (reference
+    loading.py:337-345). points: [P, >=3] (post-BDA, like the reference's)."""
+    pcr = np.asarray(pc_range, np.float64)
+    vs = (pcr[3:] - pcr[:3]) / np.asarray(grid_size)
+    pts = points[:, :3]
+    inside = np.all((pts >= pcr[:3]) & (pts < pcr[3:]), axis=1)
+    vox = ((pts[inside] - pcr[:3]) / vs).astype(np.int64)
+    vox = np.clip(vox, 0, np.asarray(grid_size) - 1)
+    mask = np.zeros(tuple(grid_size), np.uint8)
+    mask[vox[:, 0], vox[:, 1], vox[:, 2]] = 1
+    return mask
+
+
+def visible_mask_camera(occ_world: np.ndarray, trans_vox: np.ndarray,
+                        rots, trans, intrins, post_rots, post_trans,
+                        img_hw, grid_size) -> np.ndarray:
+    """Voxels whose centers survive a per-camera pixel z-buffer (reference
+    loading.py:301-335 + nb_process_img_points :396-411).
+
+    occ_world: [N, 3] UNtransformed world centers; trans_vox: [N, 3] the
+    BDA-transformed voxel coords used to scatter visibility into the grid.
+    """
+    H, W = img_hw
+    N = occ_world.shape[0]
+    n_cam = rots.shape[0]
+    visible_pt = np.zeros(N, bool)
+    inv_rots = np.linalg.inv(np.asarray(rots, np.float64))
+    for c in range(n_cam):
+        p = (occ_world - np.asarray(trans[c])[None]) @ inv_rots[c].T
+        p = p @ np.asarray(intrins[c], np.float64).T
+        d = p[:, 2]
+        uv = p[:, :2] / np.maximum(d[:, None], 1e-9)
+        uv = uv @ np.asarray(post_rots[c][:2, :2], np.float64).T \
+            + np.asarray(post_trans[c][:2])[None]
+        ok = (uv[:, 0] >= 0) & (uv[:, 0] < W) & (uv[:, 1] >= 0) \
+            & (uv[:, 1] < H) & (d >= 0)
+        if not ok.any():
+            continue
+        # z-buffer at int16 depth*10 resolution like the reference
+        ui = uv[ok].astype(np.int64)
+        di = (d[ok] * 10).astype(np.int64)
+        pix = ui[:, 1] * W + ui[:, 0]
+        canvas = np.full(H * W, 2048, np.int64)
+        np.minimum.at(canvas, pix, di)
+        vis = di <= canvas[pix]
+        idx = np.where(ok)[0]
+        visible_pt[idx[vis]] = True
+    mask = np.zeros(tuple(grid_size), np.uint8)
+    # majority vote of per-point visibility into voxels (reference reuses
+    # nb_process_label); any-visible is equivalent for a 0/1 label modally
+    # tied to the denser side — we follow majority like the reference
+    vis_lab = visible_pt.astype(np.int64)
+    mask = majority_vote_densify(trans_vox, vis_lab, grid_size).astype(np.uint8)
+    return mask

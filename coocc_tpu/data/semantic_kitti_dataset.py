@@ -70,6 +70,8 @@ class SemanticKITTIOccDataset:
                                                      "*.bin"))):
                 frame = os.path.basename(vox).split(".")[0]
                 voxel_path = os.path.join(ann_file, seq, f"{frame}_1_1.npy")
+                voxel_path_2 = os.path.join(ann_file, seq,
+                                            f"{frame}_1_2.npy")
                 self.scans.append(dict(
                     sequence=seq, frame_id=frame,
                     img_paths={c: os.path.join(base, f"image_{c}",
@@ -81,6 +83,8 @@ class SemanticKITTIOccDataset:
                     T_velo_2_cam=calib["Tr"],
                     voxel_path=voxel_path if os.path.exists(voxel_path)
                     else None,
+                    voxel_path_2=voxel_path_2
+                    if os.path.exists(voxel_path_2) else None,
                 ))
 
     def __len__(self):
@@ -127,13 +131,24 @@ class SemanticKITTIOccDataset:
             out["gt_occ"] = np.load(info["voxel_path"]).astype(np.int64)
         else:
             out["gt_occ"] = np.zeros(cfg.occ_size, np.int64)
+        # preprocessed half-scale GT (semantic_kitti_downsample majority
+        # vote); the loss prefers it over mode-pooling the 1_1 grid
+        # (reference: semantic_kitti_lss_dataset.py multi-scale gt loading)
+        if info.get("voxel_path_2") is not None:
+            out["gt_occ_2"] = np.load(info["voxel_path_2"]).astype(np.int64)
 
-        if cfg.use_lidar or True:  # points also feed the depth maps
-            pts = np.fromfile(info["lidar_path"],
-                              dtype=np.float32).reshape(-1, 4)
-            if cfg.use_lidar:
-                pad5 = np.concatenate(
-                    [pts, np.zeros((pts.shape[0], 1), np.float32)], axis=1)
-                out["points"], out["points_mask"] = pad_points(
-                    pad5, cfg.pts.max_points)
+        pts = np.fromfile(info["lidar_path"],
+                          dtype=np.float32).reshape(-1, 4)
+        # per-view GT depth maps from the scan (reference kitti pipeline
+        # CreateDepthFromLiDAR equivalent; feeds DepthNet BCE + render loss)
+        H, W = cfg.data.input_size
+        from .pipelines.lidar2depth import create_depth_maps
+        out["gt_depths"] = create_depth_maps(
+            pts[:, :3], out["rots"], out["trans"], out["intrins"],
+            out["post_rots"], out["post_trans"], H, W)
+        if cfg.use_lidar:
+            pad5 = np.concatenate(
+                [pts, np.zeros((pts.shape[0], 1), np.float32)], axis=1)
+            out["points"], out["points_mask"] = pad_points(
+                pad5, cfg.pts.max_points)
         return out

@@ -75,10 +75,14 @@ def validate_lidarseg_submission(root: str, num_classes: int = 17) -> bool:
     if not os.path.isdir(d):
         return False
     ok = True
+    n_files = 0
     for f in os.listdir(d):
         if not f.endswith("_lidarseg.bin"):
             continue
+        n_files += 1
         labels = np.fromfile(os.path.join(d, f), dtype=np.uint8)
         if labels.size == 0 or labels.min() < 1 or labels.max() >= num_classes:
             ok = False
-    return ok
+    # an empty directory is not a valid submission (the reference validator
+    # checks presence per sample token)
+    return ok and n_files > 0

@@ -55,6 +55,8 @@ class Batch(NamedTuple):
     gt_occ: Optional[jnp.ndarray] = None        # [B, X, Y, Z] int
     points_occ: Optional[jnp.ndarray] = None    # [B, Q, 4+] lidarseg points
     points_occ_mask: Optional[jnp.ndarray] = None
+    visible_mask: Optional[jnp.ndarray] = None  # [B, X, Y, Z] uint8 (openocc)
+    gt_occ_2: Optional[jnp.ndarray] = None      # [B, X/2, Y/2, Z/2] (kitti 1_2)
 
 
 class CoOccRay(nn.Module):
@@ -89,7 +91,11 @@ class CoOccRay(nn.Module):
         pts = cfg.pts
         max_vox = pts.max_voxels if train else pts.max_voxels_test
 
-        if pts.impl in ("dense", "packed") \
+        impl = pts.impl
+        if impl == "auto":
+            impl = ("packed" if pts.encoder == "SparseLiDAREnc8x"
+                    else "gather")
+        if impl in ("dense", "packed") \
                 and pts.encoder == "SparseLiDAREnc8x":
             # The dense encoders only consume voxel OCCUPANCY (their stem
             # GroupNorm erases features) — use the sort-free mask voxelizer.
@@ -100,7 +106,7 @@ class CoOccRay(nn.Module):
                 p, m, cfg.point_cloud_range, pts.voxel_size,
                 pts.sparse_shape_xyz, max_voxels=max_vox))(
                 batch.points, batch.points_mask)
-            enc_cls = (PackedLiDAREnc8x if pts.impl == "packed"
+            enc_cls = (PackedLiDAREnc8x if impl == "packed"
                        else DenseLiDAREnc8x)
             dense = enc_cls(
                 input_channel=pts.input_channel, base_channel=pts.base_channel,
@@ -111,6 +117,11 @@ class CoOccRay(nn.Module):
                 name="pts_middle_encoder",
             )(mask0, train=train)
             return dense.astype(self.dtype or jnp.float32)
+
+        if impl in ("dense", "packed"):
+            raise ValueError(
+                f"pts.impl='{impl}' has a dense/packed twin only for "
+                f"SparseLiDAREnc8x, not {pts.encoder}; use impl='gather'")
 
         def vox_one(p, m):
             return voxelize(

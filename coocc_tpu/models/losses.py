@@ -98,8 +98,14 @@ def compute_losses(outs, batch, cfg: CoOccConfig) -> Dict[str, jnp.ndarray]:
             cfg.grid.dbound)
 
     logits = outs["occ"]  # [B, Xc, Yc, Zc, C]
-    ratio = batch.gt_occ.shape[1] // logits.shape[1]
-    target_c = mode_pool_gt(batch.gt_occ, ratio, cfg.occ_head.out_channel)
+    if batch.gt_occ_2 is not None \
+            and batch.gt_occ_2.shape[1] == logits.shape[1]:
+        # preprocessed multi-scale GT (SemanticKITTI 1_2 files) — skip the
+        # on-the-fly mode pool
+        target_c = batch.gt_occ_2
+    else:
+        ratio = batch.gt_occ.shape[1] // logits.shape[1]
+        target_c = mode_pool_gt(batch.gt_occ, ratio, cfg.occ_head.out_channel)
     losses.update(voxel_losses(logits, target_c, cfg, tag="c_0"))
 
     if "fine_logits" in outs:

@@ -166,8 +166,13 @@ class Projector:
         from ..ops.grid_sample import grid_sample_2d
         H, W = self.img_hw
         uv, mask = self.project(pts)
-        grid = jnp.stack([(uv[..., 0] / (W - 1) - 0.5) * 2,
-                          (uv[..., 1] / (H - 1) - 0.5) * 2], axis=-1)
+        if align_corners:
+            grid = jnp.stack([(uv[..., 0] / (W - 1) - 0.5) * 2,
+                              (uv[..., 1] / (H - 1) - 0.5) * 2], axis=-1)
+        else:
+            # align_corners=False: pixel centers at (i+0.5)/W in [0,1]
+            grid = jnp.stack([((uv[..., 0] + 0.5) / W - 0.5) * 2,
+                              ((uv[..., 1] + 0.5) / H - 0.5) * 2], axis=-1)
         s = jax.vmap(lambda f, g: grid_sample_2d(
             f, g, align_corners=align_corners, padding_mode="zeros"))(
             feats, grid)

@@ -111,6 +111,11 @@ def project_points_on_img(points, rots, trans, intrins, post_rots, post_trans,
     (range / (size-1)) scaling, inverse BDA, cam projection, post-aug
     homography, uv normalized to [-1, 1] over (W-1, H-1).
 
+    data_type branches as the reference does: 'nus' applies the full inverse
+    BDA (3x3 there); 'kitti' applies only the rotation block of a 4x4 BDA
+    (no translation) and projects through homogeneous 3x4 intrinsics
+    (coordinate_transform.py:33-51).
+
     points: [P, 3] float fine coords; rots/trans/...: per-sample [N, ...].
     Returns uv [N, P, 2], mask [N, P].
     """
@@ -122,8 +127,10 @@ def project_points_on_img(points, rots, trans, intrins, post_rots, post_trans,
     pts = points * voxel_size[None] + pr[:3][None]
 
     inv_bda = jnp.linalg.inv(bda)
-    if inv_bda.shape[-1] == 4:
-        pts = jnp.einsum("ij,pj->pi", inv_bda[:3, :3], pts) + inv_bda[:3, 3]
+    if data_type == "kitti" or inv_bda.shape[-1] == 4:
+        # rotation block only — the reference's kitti branch drops the
+        # translation row of the 4x4 BDA (coordinate_transform.py:36-38)
+        pts = jnp.einsum("ij,pj->pi", inv_bda[:3, :3], pts)
     else:
         pts = jnp.einsum("ij,pj->pi", inv_bda, pts)
 
@@ -288,6 +295,12 @@ class OccHead(nn.Module):
         out["fine_logits"] = jnp.stack(fine_logits)
         out["fine_coords"] = jnp.stack(fine_coords)
         out["fine_valid"] = jnp.stack(fine_valids)
+        # Overflow diagnostic: the reference refines ALL occupied voxels at
+        # eval (occ_head.py:182-237, topk only in training); our static cap
+        # silently drops cells past `cap` when exceeded. Surface the count so
+        # the eval loop can warn (train/loop.py logs it).
+        n_occ = occ_mask.reshape(B, -1).sum(axis=-1)
+        out["fine_overflow"] = jnp.maximum(n_occ - cap, 0)
         return out
 
 

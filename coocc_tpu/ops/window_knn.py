@@ -83,6 +83,8 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     raster = ((offsets[:, 0] + rx) * (2 * ry + 1)
               + (offsets[:, 1] + ry)) * (2 * rz + 1) + (offsets[:, 2] + rz)
     I16BIG = np.int16(np.iinfo(np.int16).max)
+    assert n_planes < np.iinfo(np.int16).max, (
+        f"window_knn rank table overflows int16: {n_planes} planes")
     rank_of_raster = np.full(n_planes, I16BIG, np.int16)
     rank_of_raster[raster] = np.arange(O, dtype=np.int16)
     ranks = jnp.asarray(rank_of_raster)[:, None]  # [n_planes, 1] i16

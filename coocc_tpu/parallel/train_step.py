@@ -57,15 +57,23 @@ def make_train_step(model, cfg: CoOccConfig, mesh=None):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, cfg: CoOccConfig, mesh=None):
-    """Returns eval_step(variables, batch) -> dict of hists + logits."""
+def make_eval_step(model, cfg: CoOccConfig, mesh=None, return_logits=True):
+    """Returns eval_step(variables, batch) -> dict of hists (+ logits).
+
+    return_logits=False drops the full occ/fine logits from the outputs so
+    the metric-only eval loop transfers just the tiny confusion matrices.
+    """
 
     def eval_step(variables, batch):
         outs = model.apply(variables, batch, train=False)
         sc, ssc = occupancy_hists(outs["occ"], batch.gt_occ,
                                   cfg.num_classes, cfg.empty_idx)
-        res = {"SC_hist": sc, "SSC_hist": ssc, "occ_logits": outs["occ"]}
-        if "fine_logits" in outs:
+        res = {"SC_hist": sc, "SSC_hist": ssc}
+        if return_logits:
+            res["occ_logits"] = outs["occ"]
+        if "fine_overflow" in outs:
+            res["fine_overflow"] = outs["fine_overflow"]
+        if "fine_logits" in outs and return_logits:
             res["fine_logits"] = outs["fine_logits"]
             res["fine_coords"] = outs["fine_coords"]
             res["fine_valid"] = outs["fine_valid"]

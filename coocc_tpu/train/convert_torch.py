@@ -47,6 +47,11 @@ def deconv3d_w(w: np.ndarray) -> np.ndarray:
 
 
 def linear_w(w: np.ndarray) -> np.ndarray:
+    # 1x1 Conv2d used as a linear layer (e.g. SELayer conv_reduce/expand,
+    # ViewTransformerLSSBEVDepth.py:480-493) arrives as [O, I, 1, 1]
+    if w.ndim == 4:
+        assert w.shape[2] == w.shape[3] == 1, f"not a 1x1 conv: {w.shape}"
+        w = w[:, :, 0, 0]
     return np.transpose(w, (1, 0))
 
 
@@ -241,6 +246,35 @@ def convert_sparse_enc8x(b, sd, tprefix, fprefix):
     b.gn(sd, f"{tprefix}.conv_out.1", f"{fprefix}/gn_out")
 
 
+def convert_second3d(b, sd, tprefix, fprefix, layer_nums):
+    """SECOND3D blocks (reference coocc/backbones/second3d.py:53-77):
+    blocks.{i} = Sequential(conv, bn, relu, [conv, bn, relu] * layer_num)."""
+    for i, n in enumerate(layer_nums):
+        for j in range(n + 1):
+            b.conv3d(sd, f"{tprefix}.blocks.{i}.{3 * j}",
+                     f"{fprefix}/block{i}_conv{j}")
+            b.bn(sd, f"{tprefix}.blocks.{i}.{3 * j + 1}",
+                 f"{fprefix}/block{i}_bn{j}")
+
+
+def convert_second3d_fpn(b, sd, tprefix, fprefix, upsample_strides,
+                         use_conv_for_no_stride=True, extra_num_conv=3):
+    """SECOND3DFPN deblocks + extra_blocks (second3d_fpn.py:48-107)."""
+    for i, s in enumerate(upsample_strides):
+        t = f"{tprefix}.deblocks.{i}"
+        if s > 1 or (s == 1 and not use_conv_for_no_stride):
+            b.deconv(sd, f"{t}.0", f"{fprefix}/deblock{i}_deconv",
+                     three_d=True)
+        else:
+            b.conv3d(sd, f"{t}.0", f"{fprefix}/deblock{i}_conv")
+        b.bn(sd, f"{t}.1", f"{fprefix}/deblock{i}_bn")
+    for j in range(extra_num_conv):
+        b.conv3d(sd, f"{tprefix}.extra_blocks.{3 * j}",
+                 f"{fprefix}/extra{j}_conv")
+        b.bn(sd, f"{tprefix}.extra_blocks.{3 * j + 1}",
+             f"{fprefix}/extra{j}_bn")
+
+
 def convert_bifuser(b, sd, tprefix, fprefix):
     b.dense(sd, f"{tprefix}.knn_enc.0", f"{fprefix}/knn_enc/linear")
     b.conv3d(sd, f"{tprefix}.con_enc.0", f"{fprefix}/con_enc0")
@@ -266,18 +300,24 @@ def convert_resnet3d(b, sd, tprefix, fprefix, layers=(2, 2, 2, 2)):
 
 
 def convert_fpn3d(b, sd, tprefix, fprefix, n_levels=4):
+    # our _ConvNormReLU3D nests Conv3d under "conv" and BatchNorm under "bn"
+    # (each wrapper adds its own inner scope), hence the doubled path parts
     for i in range(n_levels):
         b.conv3d(sd, f"{tprefix}.lateral_convs.{i}.0.conv",
-                 f"{fprefix}/lateral{i}")
-        b.bn(sd, f"{tprefix}.lateral_convs.{i}.0.bn", f"{fprefix}/lateral{i}")
-        b.conv3d(sd, f"{tprefix}.fpn_convs.{i}.0.conv", f"{fprefix}/fpn{i}")
-        b.bn(sd, f"{tprefix}.fpn_convs.{i}.0.bn", f"{fprefix}/fpn{i}")
+                 f"{fprefix}/lateral{i}/conv")
+        b.bn(sd, f"{tprefix}.lateral_convs.{i}.0.bn",
+             f"{fprefix}/lateral{i}/bn")
+        b.conv3d(sd, f"{tprefix}.fpn_convs.{i}.0.conv",
+                 f"{fprefix}/fpn{i}/conv")
+        b.bn(sd, f"{tprefix}.fpn_convs.{i}.0.bn", f"{fprefix}/fpn{i}/bn")
 
 
 def convert_occ_head(b, sd, tprefix, fprefix, num_level=4):
+    # _OccConv nests Conv3d under "conv" and BatchNorm under "bn"
     for i in range(num_level):
-        b.conv3d(sd, f"{tprefix}.occ_convs.{i}.0", f"{fprefix}/occ_conv{i}")
-        b.bn(sd, f"{tprefix}.occ_convs.{i}.1", f"{fprefix}/occ_conv{i}")
+        b.conv3d(sd, f"{tprefix}.occ_convs.{i}.0",
+                 f"{fprefix}/occ_conv{i}/conv")
+        b.bn(sd, f"{tprefix}.occ_convs.{i}.1", f"{fprefix}/occ_conv{i}/bn")
     b.conv3d(sd, f"{tprefix}.occ_pred_conv.0", f"{fprefix}/pred_conv0")
     b.bn(sd, f"{tprefix}.occ_pred_conv.1", f"{fprefix}/pred_bn")
     b.conv3d(sd, f"{tprefix}.occ_pred_conv.3", f"{fprefix}/pred_conv1")
@@ -332,6 +372,14 @@ def convert_coocc_ray(state_dict: Dict[str, Any], cfg) -> Dict:
         if cfg.pts.encoder in ("SparseLiDAREnc8x", "SparseLiDAREnc4x"):
             convert_sparse_enc8x(b, sd, "pts_middle_encoder",
                                  "pts_middle_encoder")
+        if cfg.second3d is not None \
+                and "pts_backbone.blocks.0.0.weight" in sd:
+            convert_second3d(b, sd, "pts_backbone", "pts_backbone",
+                             cfg.second3d.layer_nums)
+            convert_second3d_fpn(
+                b, sd, "pts_neck", "pts_neck",
+                cfg.second3d.fpn_upsample_strides,
+                extra_num_conv=cfg.second3d.fpn_extra_num_conv)
     if cfg.fuser is not None:
         convert_bifuser(b, sd, "occ_fuser", "occ_fuser")
     convert_resnet3d(b, sd, "semantic_encoder", "semantic_encoder")

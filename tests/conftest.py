@@ -22,6 +22,15 @@ import jax  # noqa: E402
 # env var; config.update wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the model-level tests re-compile identical
+# graphs on every pytest run (minutes each on this 1-core host); the cache
+# makes reruns load in seconds. Shared with __graft_entry__.dryrun_multichip.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -63,6 +63,28 @@ def test_lidar_only_forward():
     assert bool(jnp.isfinite(outs["occ"]).all())
 
 
+def test_lidar_only_render_loss():
+    """The lidar-only model renders depth from gt_depths geometry and
+    produces a depth-only render loss (reference coocc_ray_lidar.py:456-515:
+    frustum from the camera-free calib tuple, sigma-only compositing, MSE
+    vs binned lidar depth; no rgb loss without images)."""
+    cfg = tiny_config(use_camera=False, use_lidar=True, cascade=False)
+    assert cfg.render.use_rendering
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 1))
+    assert batch.imgs is None and batch.rots is not None
+    model = CoOccRay(cfg=cfg)
+    from coocc_tpu.utils.init_utils import jit_init
+    variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                         train=True)
+    outs, _ = model.apply(variables, batch, train=True,
+                          mutable=["batch_stats"])
+    assert "render_depth" in outs and "render_rgb" not in outs
+    losses = compute_losses(outs, batch, cfg)
+    assert "loss_depth_render" in losses
+    assert "loss_rgb" not in losses
+    assert bool(jnp.isfinite(losses["loss_depth_render"]))
+
+
 def test_camera_only_forward():
     cfg = tiny_config(use_camera=True, use_lidar=False)
     batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, 1))

@@ -71,9 +71,19 @@ def build_nuscenes_infos(data_root: str, version: str, max_sweeps: int = 10):
         l2e = transform_matrix(cs["translation"], cs["rotation"])
         e2g = transform_matrix(pose["translation"], pose["rotation"])
 
+        # lidarseg per-point labels (present in v1.0-trainval + lidarseg ext)
+        lidarseg_path = None
+        try:
+            lidarseg_path = nusc.get("lidarseg", lidar_token)["filename"]
+        except Exception:
+            pass
+
         info = {
             "token": sample["token"],
+            "scene_token": sample["scene_token"],
             "scene_name": scene,
+            "lidar_token": lidar_token,
+            "lidarseg": lidarseg_path,
             "lidar_path": os.path.join(data_root, sd["filename"]),
             "timestamp": sample["timestamp"],
             "lidar2ego_translation": cs["translation"],
