@@ -1,0 +1,281 @@
+"""BEVStereo-style temporal-stereo LSS variant (capability envelope).
+
+Capability parity with ViewTransformerLSSBEVStereo + DepthNetStereo
+(reference: image2bev/ViewTransformerLSSBEVDepth.py:938-1441 and :837-935).
+No shipped reference config instantiates this class — it is the
+capability-envelope temporal-stereo depth path (BEVStereo, AAAI'23):
+
+  * DepthNetStereo: camera-conditioned mono depth + per-range Gaussian
+    depth hypotheses (mu, sigma) + range scores from a shared trunk
+    (SE conditioning, BasicBlocks, ASPP, DCN) with a x4-upsampling
+    mu/sigma head (stereo runs at stereo_downsample_factor=4 vs the
+    LSS feature stride 16).
+  * Homography warping of the previous sweep's stereo features onto
+    depth-hypothesis planes of the key frame (plane-sweep volume) —
+    pure-jnp geometry + our grid_sample (no CUDA warp kernel).
+  * Group-wise correlation cost volume + 1x1x1 similarity net.
+  * EM refinement (em_iteration rounds): score the k_list-sampled
+    Gaussian candidates, re-estimate mu as the score-weighted mean and
+    rescale sigma by the center-candidate confidence.
+  * Per-range Gaussian splat of the refined (mu, sigma) onto the D
+    depth bins, weighted by the softmaxed range scores.
+  * mask_net gating between mono and stereo depth; depth_downsample_net
+    brings the stereo-resolution depth to the LSS stride.
+
+TPU notes: every loop here is over STATIC hyperparameters (num_ranges,
+em_iteration, num_samples) so the whole refinement unrolls into one XLA
+graph; the plane-sweep gather uses the shared channels-last grid_sample.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample_2d
+from .depthnet import ASPP, BasicBlock2D, DCNLayer, Mlp, SELayer
+from .layers import BatchNorm, Conv2d, Linear
+
+
+def depth_sampling_k_list(sampling_range: int = 3,
+                          num_samples: int = 3) -> np.ndarray:
+    """Gaussian-quantile candidate offsets (reference depth_sampling,
+    :1012-1024): midpoints of equal-probability slices of the +-range."""
+    from math import erf
+    P_total = erf(sampling_range / np.sqrt(2.0))
+    idx = np.arange(0, num_samples + 1)
+    p = (1 - P_total) / 2 + (idx / num_samples) * P_total
+    # inverse normal CDF via scipy-free rational approx is overkill here;
+    # use np.erfinv equivalent through jax.scipy? numpy lacks ppf — use
+    # the classic Acklam approximation via jax.scipy.special.ndtri on host
+    from jax.scipy.special import ndtri
+    k = np.asarray(ndtri(p))
+    return ((k[1:] + k[:-1]) / 2).astype(np.float32)
+
+
+class DepthNetStereo(nn.Module):
+    """Camera-aware trunk emitting (context, mono_depth, mu, sigma,
+    range_score, depth_feat). Reference :837-935."""
+    mid_channels: int
+    context_channels: int
+    depth_channels: int
+    num_ranges: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mlp_input, train: bool = False):
+        mlp_input = BatchNorm(use_running_average=not train,
+                              dtype=self.dtype, name="bn")(mlp_input)
+        x = Conv2d(self.mid_channels, (3, 3), (1, 1), 1, use_bias=True,
+                   dtype=self.dtype, name="reduce_conv")(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      name="reduce_bn")(x)
+        x = nn.relu(x)
+
+        context_se = Mlp(self.mid_channels, self.mid_channels,
+                         dtype=self.dtype, name="context_mlp")(mlp_input)
+        context = SELayer(self.mid_channels, dtype=self.dtype,
+                          name="context_se")(x, context_se)
+        context = Conv2d(self.context_channels, (1, 1), (1, 1), 0,
+                         use_bias=True, dtype=self.dtype,
+                         name="context_conv")(context)
+
+        depth_se = Mlp(self.mid_channels, self.mid_channels,
+                       dtype=self.dtype, name="depth_mlp")(mlp_input)
+        depth = SELayer(self.mid_channels, dtype=self.dtype,
+                        name="depth_se")(x, depth_se)
+        for i in range(2):
+            depth = BasicBlock2D(self.mid_channels, dtype=self.dtype,
+                                 name=f"depth_block{i}")(depth, train)
+        depth = ASPP(self.mid_channels, dtype=self.dtype,
+                     name="aspp")(depth, train)
+        depth_feat = DCNLayer(self.mid_channels, groups=4, dtype=self.dtype,
+                              name="dcn")(depth)
+
+        # mu/sigma/range head: BasicBlock + two x2 deconvs -> 3*num_ranges
+        y = BasicBlock2D(self.mid_channels, dtype=self.dtype,
+                         name="msr_block")(depth_feat, train)
+        for i in range(2):
+            y = nn.ConvTranspose(self.mid_channels, (3, 3), (2, 2),
+                                 padding="SAME", transpose_kernel=True,
+                                 dtype=self.dtype,
+                                 name=f"msr_deconv{i}")(y)
+            y = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          name=f"msr_bn{i}")(y)
+            y = nn.relu(y)
+        msr = Conv2d(self.num_ranges * 3, (1, 1), (1, 1), 0, use_bias=True,
+                     dtype=self.dtype, name="msr_pred")(y)
+        mu = msr[..., :self.num_ranges]
+        sigma = nn.softplus(msr[..., self.num_ranges:2 * self.num_ranges])
+        range_score_hi = msr[..., 2 * self.num_ranges:]
+
+        mono = BasicBlock2D(self.mid_channels, dtype=self.dtype,
+                            name="mono_block")(depth_feat, train)
+        mono_depth = Conv2d(self.depth_channels, (1, 1), (1, 1), 0,
+                            use_bias=True, dtype=self.dtype,
+                            name="mono_pred")(mono)
+        return context, mono_depth, mu, sigma, range_score_hi, depth_feat
+
+
+def homo_warp(src_feat, depth_sample, key_intrin, sweep_intrin,
+              key2sweep_rot, key2sweep_tran, stereo_downsample: int = 4):
+    """Warp previous-sweep stereo features onto key-frame depth planes.
+
+    src_feat: [H, W, C] sweep stereo features (stride `stereo_downsample`).
+    depth_sample: [S, H, W] candidate depths in the key camera.
+    key_intrin/sweep_intrin: [3, 3]; key2sweep_*: rigid key-cam -> sweep-cam.
+    Returns [S, H, W, C]. (Reference homo_warping :1030-1131, post-aug ida
+    omitted: the envelope path runs on unaugmented stereo crops.)
+    """
+    S, H, W = depth_sample.shape
+    xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * stereo_downsample - 0.5
+    ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * stereo_downsample - 0.5
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    pix = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)  # [H, W, 3]
+    cam = jnp.einsum("ij,hwj->hwi", jnp.linalg.inv(key_intrin), pix)
+    cam = cam[None] * depth_sample[..., None]  # [S, H, W, 3]
+    swp = jnp.einsum("ij,shwj->shwi", key2sweep_rot, cam) \
+        + key2sweep_tran[None, None, None]
+    proj = jnp.einsum("ij,shwj->shwi", sweep_intrin, swp)
+    d = proj[..., 2:3]
+    uv = proj[..., :2] / jnp.maximum(d, 1e-3)
+    # full-res pixel -> stereo-grid index ((i+0.5)*s - 0.5 inverse), then
+    # normalize to [-1, 1] with align_corners=True over the stereo extent
+    su = (uv[..., 0] + 0.5) / stereo_downsample - 0.5
+    sv = (uv[..., 1] + 0.5) / stereo_downsample - 0.5
+    u = su / ((W - 1) / 2) - 1
+    v = sv / ((H - 1) / 2) - 1
+    behind = d[..., 0] < 1e-3
+    grid = jnp.stack([jnp.where(behind, 2.0, u),
+                      jnp.where(behind, 2.0, v)], -1)
+    warped = jax.vmap(lambda g: grid_sample_2d(
+        src_feat, g.reshape(-1, 2), align_corners=True,
+        padding_mode="zeros").reshape(H, W, -1))(grid)
+    return warped
+
+
+class LSSBEVStereo(nn.Module):
+    """Temporal-stereo depth estimator producing a [BN, fH, fW, D] depth
+    distribution (to be consumed by the shared lift-splat). Envelope module:
+    no shipped config wires it (reference keeps it dead too)."""
+    mid_channels: int = 256
+    context_channels: int = 128
+    depth_channels: int = 112
+    dbound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
+    num_ranges: int = 4
+    range_list: Tuple[Tuple[float, float], ...] = (
+        (2, 8), (8, 16), (16, 28), (28, 58))
+    em_iteration: int = 3
+    num_samples: int = 3
+    num_groups: int = 8
+    stereo_downsample: int = 4
+    downsample: int = 16
+    min_sigma: float = 1.0
+    use_mask: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, key_feat, sweep_stereo, key_stereo, mlp_input,
+                 key_intrin, sweep_intrin, key2sweep_rot, key2sweep_tran,
+                 train: bool = False):
+        """key_feat: [BN, fH, fW, C] stride-16 image features;
+        key_stereo/sweep_stereo: [BN, sH, sW, Cs] stride-4 stereo features;
+        intrin/rig: per-view [BN, 3, 3] / [BN, 3].
+        Returns (context [BN, fH, fW, ctx], depth [BN, fH, fW, D])."""
+        D = self.depth_channels
+        d0, d1, dd = self.dbound
+        context, mono_depth, mu_all, sigma_all, range_hi, _ = DepthNetStereo(
+            self.mid_channels, self.context_channels, D,
+            num_ranges=self.num_ranges, dtype=self.dtype,
+            name="depth_net")(key_feat, mlp_input, train=train)
+
+        # instantiate ONCE; re-invoked every EM iteration with shared params
+        sim_fc0 = Linear(16, dtype=self.dtype, name="sim_fc0")
+        sim_bn0 = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                            name="sim_bn0")
+        sim_fc1 = Linear(8, dtype=self.dtype, name="sim_fc1")
+        sim_bn1 = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                            name="sim_bn1")
+        sim_fc2 = Linear(1, dtype=self.dtype, name="sim_fc2")
+
+        def similarity(cost):
+            y = nn.relu(sim_bn0(sim_fc0(cost)))
+            y = nn.relu(sim_bn1(sim_fc1(y)))
+            return sim_fc2(y)[..., 0]
+
+        k_list = jnp.asarray(depth_sampling_k_list(3, self.num_samples))
+        BN, sH, sW, Cs = key_stereo.shape
+        G = self.num_groups
+        d_coords = d0 + dd * jnp.arange(D, dtype=jnp.float32)
+
+        # range score at stereo resolution (the head upsampled x4)
+        range_score = nn.softmax(range_hi, axis=-1)  # [BN, sH', sW', R]
+
+        stereo_depth = jnp.zeros((BN, sH, sW, D), jnp.float32)
+        for r in range(self.num_ranges):
+            lo, hi = self.range_list[r]
+            mu = jax.nn.sigmoid(mu_all[..., r]) * (hi - lo) + lo  # [BN,h,w]
+            sigma = sigma_all[..., r] + 0.1
+            mu = mu[:, :sH, :sW]
+            sigma = sigma[:, :sH, :sW]
+            for _ in range(self.em_iteration):
+                samples = jnp.stack([mu + sigma * k for k in k_list], 1)
+                # cost volume: group correlation vs the warped sweep
+                warped = jax.vmap(homo_warp, in_axes=(0, 0, 0, 0, 0, 0,
+                                                      None))(
+                    sweep_stereo, samples, key_intrin, sweep_intrin,
+                    key2sweep_rot, key2sweep_tran, self.stereo_downsample)
+                ref = key_stereo.reshape(BN, 1, sH, sW, G, Cs // G)
+                wrp = warped.reshape(BN, self.num_samples, sH, sW, G,
+                                     Cs // G)
+                cost = (ref * wrp).mean(-1)  # [BN, S, sH, sW, G]
+                score = similarity(cost)  # [BN, S, sH, sW]
+                score = nn.softmax(score, axis=1)
+                center = score[:, self.num_samples // 2]
+                scale = jnp.clip(0.5 / (1e-4 + center), 0.1, 10.0)
+                sigma = jnp.clip(sigma * scale, 0.1, 10.0)
+                mu = (samples * score).sum(1)
+            mu = jnp.clip(mu, lo, hi)
+            sigma = jnp.maximum(sigma, self.min_sigma)
+            # gaussian splat onto the bins of this range
+            b_lo = int((lo - d0) // dd)
+            n_bins = int((hi - lo) // dd)
+            bins = d_coords[b_lo:b_lo + n_bins]
+            g = jnp.exp(-0.5 * ((bins[None, None, None] - mu[..., None])
+                                / jnp.sqrt(sigma)[..., None]) ** 2)
+            g = g / (sigma[..., None] * math.sqrt(2 * math.pi) + 1e-6)
+            g = g * range_score[:, :sH, :sW, r:r + 1]
+            stereo_depth = stereo_depth.at[..., b_lo:b_lo + n_bins].add(g)
+
+        # downsample stereo depth (stride 4 -> 16) and fuse with mono
+        y = stereo_depth
+        for i, (cout, s) in enumerate(((256, 2), (256, 2))):
+            y = Conv2d(cout, (3, 3), (s, s), 1, use_bias=True,
+                       dtype=self.dtype, name=f"dds_conv{i}")(y)
+            y = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          name=f"dds_bn{i}")(y)
+            y = nn.relu(y)
+        y = Conv2d(D, (1, 1), (1, 1), 0, use_bias=True, dtype=self.dtype,
+                   name="dds_pred")(y)
+
+        if self.use_mask:
+            m = jnp.concatenate([mono_depth, y], axis=-1)
+            m = Conv2d(64, (3, 3), (1, 1), 1, use_bias=True,
+                       dtype=self.dtype, name="mask_conv0")(m)
+            m = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                          name="mask_bn0")(m)
+            m = nn.relu(m)
+            for i in range(2):
+                m = BasicBlock2D(64, dtype=self.dtype,
+                                 name=f"mask_block{i}")(m, train)
+            mask = nn.sigmoid(Conv2d(1, (1, 1), (1, 1), 0, use_bias=True,
+                                     dtype=self.dtype,
+                                     name="mask_pred")(m))
+            depth = mono_depth + y * mask
+        else:
+            depth = mono_depth + y
+        return context, nn.softmax(depth, axis=-1)

@@ -8,11 +8,28 @@ loop-invariant hoisting), so the round-trip amortizes to noise/K.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def enable_compile_cache():
+    """Persistent XLA compile cache under the repo (works for TPU too);
+    repeated profiler/bench invocations then skip the 20-40 s compiles."""
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+enable_compile_cache()
 
 
 def _readback(x):
