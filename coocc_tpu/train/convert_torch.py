@@ -246,6 +246,39 @@ def convert_sparse_enc8x(b, sd, tprefix, fprefix):
     b.gn(sd, f"{tprefix}.conv_out.1", f"{fprefix}/gn_out")
 
 
+def convert_sparse_encoder_hd(
+        b, sd, tprefix, fprefix,
+        encoder_channels=((16, 16, 32), (32, 32, 64), (64, 64, 128),
+                          (128, 128))):
+    """SparseEncoderHD (reference coocc/voxel_encoder/sparse_encoder_hd.py
+    :11-209, block_type='basicblock'): conv_input Sequential(SubM, BN1d),
+    encoder_layers.encoder_layer{i+1}.{j} = SparseBasicBlock
+    (conv1/norm1/conv2/norm2) or, for the last block of a non-final stage,
+    Sequential(SparseConv3d, BN1d); conv_out Sequential(SparseConv3d, BN1d).
+    """
+    b.spconv(sd, f"{tprefix}.conv_input.0", f"{fprefix}/conv_input")
+    b.masked_bn(sd, f"{tprefix}.conv_input.1", f"{fprefix}/norm_input/bn")
+    n_stages = len(encoder_channels)
+    for i, blocks in enumerate(encoder_channels):
+        t_stage = f"{tprefix}.encoder_layers.encoder_layer{i + 1}"
+        for j in range(len(blocks)):
+            strided = (j == len(blocks) - 1) and (i != n_stages - 1)
+            if strided:
+                b.spconv(sd, f"{t_stage}.{j}.0",
+                         f"{fprefix}/stage{i}_down")
+                b.masked_bn(sd, f"{t_stage}.{j}.1",
+                            f"{fprefix}/stage{i}_down/norm/bn")
+            else:
+                fb = f"{fprefix}/stage{i}_block{j}"
+                b.spconv(sd, f"{t_stage}.{j}.conv1", f"{fb}/conv1")
+                b.masked_bn(sd, f"{t_stage}.{j}.norm1", f"{fb}/norm1/bn")
+                b.spconv(sd, f"{t_stage}.{j}.conv2", f"{fb}/conv2")
+                b.masked_bn(sd, f"{t_stage}.{j}.norm2", f"{fb}/norm2/bn")
+    b._set(b.params, f"{fprefix}/conv_out_weight",
+           spconv_w(sd[f"{tprefix}.conv_out.0.weight"]))
+    b.masked_bn(sd, f"{tprefix}.conv_out.1", f"{fprefix}/norm_out/bn")
+
+
 def convert_second3d(b, sd, tprefix, fprefix, layer_nums):
     """SECOND3D blocks (reference coocc/backbones/second3d.py:53-77):
     blocks.{i} = Sequential(conv, bn, relu, [conv, bn, relu] * layer_num)."""
@@ -372,6 +405,10 @@ def convert_coocc_ray(state_dict: Dict[str, Any], cfg) -> Dict:
         if cfg.pts.encoder in ("SparseLiDAREnc8x", "SparseLiDAREnc4x"):
             convert_sparse_enc8x(b, sd, "pts_middle_encoder",
                                  "pts_middle_encoder")
+        elif cfg.pts.encoder == "SparseEncoderHD" \
+                and "pts_middle_encoder.conv_input.0.weight" in sd:
+            convert_sparse_encoder_hd(b, sd, "pts_middle_encoder",
+                                      "pts_middle_encoder")
         if cfg.second3d is not None \
                 and "pts_backbone.blocks.0.0.weight" in sd:
             convert_second3d(b, sd, "pts_backbone", "pts_backbone",
