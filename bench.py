@@ -29,16 +29,19 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    # persistent compile cache (shared with tests/dryrun): repeat bench runs
-    # skip the multi-minute whole-model compile
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent compile cache ONLY on the CPU backend — with the axon TPU
+    # relay the cache wedges compiles (observed: indefinite hangs that also
+    # block other clients)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     from coocc_tpu.config import get_config
     from coocc_tpu.data.synthetic import synthetic_batch

@@ -38,19 +38,23 @@ def fast_hist(pred: jnp.ndarray, label: jnp.ndarray, num_classes: int,
 
 
 def occupancy_hists(logits: jnp.ndarray, gt_occ: jnp.ndarray,
-                    num_classes: int, empty_idx: int = 0
+                    num_classes: int, empty_idx: int = 0,
+                    extra_mask: Optional[jnp.ndarray] = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse logits [B, Xc, Yc, Zc, C] + GT [B, X, Y, Z] -> (SC[2,2], SSC[C,C]).
 
     Logits are trilinearly upsampled to the GT grid before argmax
-    (reference: coocc_ray.py:659-666).
-    """
+    (reference: coocc_ray.py:659-666). extra_mask ANDs an additional voxel
+    validity (the OpenOccupancy camera/lidar visible mask, reference
+    coocc_ray_lidar.py:700-707 hist_occ)."""
     B, X, Y, Z = gt_occ.shape
     if logits.shape[1:4] != (X, Y, Z):
         logits = resize_trilinear_chlast(logits, (X, Y, Z),
                                          align_corners=False)
     pred = jnp.argmax(logits, axis=-1)
     valid = gt_occ != 255
+    if extra_mask is not None:
+        valid = valid & (extra_mask != 0)
     sc = fast_hist((pred != empty_idx).astype(jnp.int32),
                    (gt_occ != empty_idx).astype(jnp.int32), 2, valid)
     gt_clip = jnp.where(valid, gt_occ, 0)

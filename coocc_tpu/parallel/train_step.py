@@ -69,6 +69,14 @@ def make_eval_step(model, cfg: CoOccConfig, mesh=None, return_logits=True):
         sc, ssc = occupancy_hists(outs["occ"], batch.gt_occ,
                                   cfg.num_classes, cfg.empty_idx)
         res = {"SC_hist": sc, "SSC_hist": ssc}
+        if batch.visible_mask is not None:
+            # masked SSC over camera/lidar-visible voxels (reference
+            # hist_occ, coocc_ray_lidar.py:700-707; OpenOccupancy protocol)
+            sc_v, ssc_v = occupancy_hists(
+                outs["occ"], batch.gt_occ, cfg.num_classes, cfg.empty_idx,
+                extra_mask=batch.visible_mask)
+            res["SC_hist_visible"] = sc_v
+            res["SSC_hist_visible"] = ssc_v
         if return_logits:
             res["occ_logits"] = outs["occ"]
         if "fine_overflow" in outs:

@@ -51,7 +51,9 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
     ssc_f = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
     sc_f = np.zeros((2, 2), np.int64)
     lseg = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
-    have_fine = have_lseg = False
+    sc_v = np.zeros((2, 2), np.int64)
+    ssc_v = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+    have_fine = have_lseg = have_vis = False
     n = 0
     overflow = 0
     for batch in data_iter:
@@ -66,6 +68,10 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
             have_fine = True
             sc_f += np.asarray(out["SC_hist_fine"])
             ssc_f += np.asarray(out["SSC_hist_fine"])
+        if "SSC_hist_visible" in out:
+            have_vis = True
+            sc_v += np.asarray(out["SC_hist_visible"])
+            ssc_v += np.asarray(out["SSC_hist_visible"])
         if "lidarseg_hist" in out:
             have_lseg = True
             lseg += np.asarray(out["lidarseg_hist"])
@@ -84,6 +90,10 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
     if have_lseg:
         lseg = _all_proc_sum(lseg)
     summary = ssc_summary(sc, ssc)
+    if have_vis:
+        vis = ssc_summary(_all_proc_sum(sc_v), _all_proc_sum(ssc_v))
+        summary["SSC_mIoU_visible"] = vis["SSC_mIoU"]
+        summary["SC_IoU_visible"] = vis["SC_IoU"]
     if have_fine:
         fine = ssc_summary(sc_f, ssc_f)
         summary["SSC_mIoU_fine"] = fine["SSC_mIoU"]

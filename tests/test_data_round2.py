@@ -192,3 +192,18 @@ def test_shard_indices_disjoint():
     c = shard_indices(10, epoch=2, shuffle=True, seed=7, process_index=0,
                       process_count=2)
     assert not np.array_equal(a, c)
+
+
+def test_occupancy_hists_visible_mask(rng):
+    import jax.numpy as jnp
+    from coocc_tpu.evaluation.ssc_metrics import occupancy_hists
+    B, X, Y, Z, C = 1, 4, 4, 2, 5
+    logits = jnp.asarray(rng.randn(B, X, Y, Z, C).astype(np.float32))
+    gt = rng.randint(0, C, (B, X, Y, Z)).astype(np.int32)
+    vis = (rng.rand(B, X, Y, Z) > 0.5).astype(np.uint8)
+    sc_all, ssc_all = occupancy_hists(logits, jnp.asarray(gt), C)
+    sc_v, ssc_v = occupancy_hists(logits, jnp.asarray(gt), C,
+                                  extra_mask=jnp.asarray(vis))
+    assert int(np.asarray(ssc_v).sum()) == int(vis.sum())
+    assert int(np.asarray(ssc_all).sum()) == B * X * Y * Z
+    assert (np.asarray(ssc_v) <= np.asarray(ssc_all)).all()

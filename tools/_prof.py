@@ -17,8 +17,15 @@ import numpy as np
 
 
 def enable_compile_cache():
-    """Persistent XLA compile cache under the repo (works for TPU too);
-    repeated profiler/bench invocations then skip the 20-40 s compiles."""
+    """Persistent XLA compile cache under the repo — CPU backend ONLY.
+
+    Observed on this environment: enabling the cache with the axon TPU
+    relay WEDGES the relay (compiles hang indefinitely and block every
+    other client). Tests and dryruns (CPU) benefit; TPU-side profiling and
+    benching must keep it off.
+    """
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        return
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache")
