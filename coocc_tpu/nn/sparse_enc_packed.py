@@ -209,6 +209,120 @@ class _PackedBN(nn.Module):
             x_pb, maskf_pc, train)
 
 
+def _ztap_weight(w27: jnp.ndarray) -> jnp.ndarray:
+    """[27, C, Co] -> [3, 3, C, 3*Co]: the three z taps stacked into the
+    OUTPUT channels of one (x, y) conv2d (z lives in the batch dim)."""
+    k3, C, Co = w27.shape
+    w3 = w27.reshape(3, 3, 3, C, Co)  # (kx, ky, kz, C, Co)
+    return jnp.concatenate([w3[:, :, dz] for dz in range(3)], axis=-1)
+
+
+def _pb_to_zb(x_pb, C):
+    """packed [B, bz, X, Y, p*C] -> z-batch [B, Z, X, Y, C] (z = bz*p+slot)."""
+    B, bz, X, Y, pc = x_pb.shape
+    p = pc // C
+    x = x_pb.reshape(B, bz, X, Y, p, C)
+    return jnp.transpose(x, (0, 1, 4, 2, 3, 5)).reshape(B, bz * p, X, Y, C)
+
+
+def _zb_to_pb(x_zb, p):
+    """z-batch [B, Z, X, Y, C] -> packed [B, bz, X, Y, p*C]."""
+    B, Z, X, Y, C = x_zb.shape
+    x = x_zb.reshape(B, Z // p, p, X, Y, C)
+    return jnp.transpose(x, (0, 1, 3, 4, 2, 5)).reshape(
+        B, Z // p, X, Y, p * C)
+
+
+class _ZTapSubM(nn.Module):
+    """Scope twin of _PackedSubM computing in z-batch layout.
+
+    One conv2d with 3*Co output channels (one group per z tap) + two
+    batch-axis shift-adds: FLOPs equal the RAW SubM conv3d (no
+    block-tridiagonal redundancy) at the cost of a 96-lane output at C=32
+    (vs the ext conv's full 128 lanes but 2x the FLOPs).
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x_zb, maskf_zb_out, C_in):
+        w = self.param("weight", _kaiming, (27, C_in, self.features))
+        wz = _ztap_weight(w)
+        B, Z, X, Y, C = x_zb.shape
+        Co = self.features
+        y = _conv2d(x_zb.reshape(B * Z, X, Y, C), wz).astype(x_zb.dtype)
+        y = y.reshape(B, Z, X, Y, 3, Co)
+        # out[z] = y[z-1, tap0] + y[z, tap1] + y[z+1, tap2]
+        out = y[:, :, :, :, 1]
+        out = out.at[:, 1:].add(y[:, :-1, :, :, 0])
+        out = out.at[:, :-1].add(y[:, 1:, :, :, 2])
+        return out * maskf_zb_out
+
+
+class _ZbBNCore(nn.Module):
+    """MaskedBatchNorm twin for z-batch [B, Z, X, Y, C] tensors."""
+    C: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x_zb, maskf_zb, train: bool):
+        C = self.C
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = maskf_zb[..., None]
+            xm = (x_zb * m).astype(jnp.float32)
+            s1 = xm.sum(axis=(0, 1, 2, 3))
+            s2 = (xm * x_zb).sum(axis=(0, 1, 2, 3))
+            n = jnp.maximum(maskf_zb.astype(jnp.float32).sum(), 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                    + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value \
+                    + self.momentum * var * n / jnp.maximum(n - 1, 1.0)
+
+        inv = ((1.0 / jnp.sqrt(var + self.eps)) * scale).astype(x_zb.dtype)
+        out = (x_zb - mean.astype(x_zb.dtype)) * inv + bias.astype(x_zb.dtype)
+        return out * maskf_zb[..., None]
+
+
+class _ZbBN(nn.Module):
+    """Scope twin of _PackedBN for z-batch layout."""
+    C: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x_zb, maskf_zb, train: bool):
+        return _ZbBNCore(self.C, self.eps, self.momentum, name="bn")(
+            x_zb, maskf_zb, train)
+
+
+class _ZTapBasicBlock(nn.Module):
+    """Scope twin of _PackedBasicBlock computing in z-batch layout."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x_zb, maskf_zb, train: bool):
+        C = self.features
+        identity = x_zb
+        y = _ZTapSubM(C, name="conv1")(x_zb, maskf_zb[..., None], C)
+        y = _ZbBN(C, name="norm1")(y, maskf_zb, train)
+        y = nn.relu(y)
+        y = _ZTapSubM(C, name="conv2")(y, maskf_zb[..., None], C)
+        y = _ZbBN(C, name="norm2")(y, maskf_zb, train)
+        return nn.relu(y + identity) * maskf_zb[..., None]
+
+
 class _PackedSubM(nn.Module):
     """Scope twin of _DenseSubM (param 'weight' [27, Cin, Cout])."""
     features: int
@@ -265,6 +379,9 @@ class PackedLiDAREnc8x(nn.Module):
     capacity: int = 90000
     compute_dtype: Any = jnp.float32
     stop_after: Optional[str] = None  # profiling: stem|res1|res2|res3
+    # res levels to run in z-batch tap-fused form instead of the packed
+    # block-tridiagonal ext conv (same params; see _ZTapBasicBlock)
+    ztap_levels: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, sp, train: bool = False):
@@ -307,8 +424,15 @@ class PackedLiDAREnc8x(nn.Module):
         if self.stop_after == "stem":
             return d
 
-        d = _PackedBasicBlock(C1, name="res1_0")(d, m1f, train)
-        d = _PackedBasicBlock(C1, name="res1_1")(d, m1f, train)
+        if 1 in self.ztap_levels:
+            d_zb = _pb_to_zb(d, C1)
+            mzb = jnp.transpose(mask1_lm, (0, 3, 1, 2)).astype(cd)
+            d_zb = _ZTapBasicBlock(C1, name="res1_0")(d_zb, mzb, train)
+            d_zb = _ZTapBasicBlock(C1, name="res1_1")(d_zb, mzb, train)
+            d = _zb_to_pb(d_zb, p1)
+        else:
+            d = _PackedBasicBlock(C1, name="res1_0")(d, m1f, train)
+            d = _PackedBasicBlock(C1, name="res1_1")(d, m1f, train)
         if self.stop_after == "res1":
             return d
 
@@ -327,8 +451,17 @@ class PackedLiDAREnc8x(nn.Module):
             mf = jnp.repeat(_mask_pb(mask_lm, p), C, axis=-1).astype(cd)
             d = down("norm", d * mf, mf, train)
             d = nn.relu(d)
-            d = _PackedBasicBlock(C, name=f"res{lvl}_0")(d, mf, train)
-            d = _PackedBasicBlock(C, name=f"res{lvl}_1")(d, mf, train)
+            if lvl in self.ztap_levels:
+                d_zb = _pb_to_zb(d, C)
+                mzb = jnp.transpose(mask_lm, (0, 3, 1, 2)).astype(cd)
+                d_zb = _ZTapBasicBlock(C, name=f"res{lvl}_0")(d_zb, mzb,
+                                                             train)
+                d_zb = _ZTapBasicBlock(C, name=f"res{lvl}_1")(d_zb, mzb,
+                                                              train)
+                d = _zb_to_pb(d_zb, p)
+            else:
+                d = _PackedBasicBlock(C, name=f"res{lvl}_0")(d, mf, train)
+                d = _PackedBasicBlock(C, name=f"res{lvl}_1")(d, mf, train)
             if self.stop_after == f"res{lvl}":
                 return d
 

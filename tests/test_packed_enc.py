@@ -72,3 +72,40 @@ def test_packed_empty_mask_finite():
     out = packed.apply(vs, mask0, train=False)
     assert bool(jnp.all(jnp.isfinite(out)))
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_ztap_matches_ext_eval():
+    """The z-batch tap-fused res blocks must equal the packed ext-conv res
+    blocks bit-for-tolerance with the same params (any ztap_levels)."""
+    rng = np.random.RandomState(3)
+    mask0 = _mk(rng, B=1, occupancy=0.1)
+    kw = dict(input_channel=4, base_channel=16, out_channel=128,
+              sparse_shape_xyz=GRID, capacity=64,
+              compute_dtype=jnp.float32)
+    ext = PackedLiDAREnc8x(**kw)
+    ztap = PackedLiDAREnc8x(ztap_levels=(1, 2, 3), **kw)
+    vs = ext.init(jax.random.PRNGKey(4), mask0, train=False)
+    vs = jax.tree.map(
+        lambda x: x + 0.05 * np.random.RandomState(5).standard_normal(
+            x.shape).astype(x.dtype) if x.dtype == jnp.float32 else x, vs)
+    out_e = ext.apply(vs, mask0, train=False)
+    out_z = ztap.apply(vs, mask0, train=False)
+    np.testing.assert_allclose(np.asarray(out_z), np.asarray(out_e),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_ztap_train_stats_match():
+    rng = np.random.RandomState(6)
+    mask0 = _mk(rng, B=1, occupancy=0.1)
+    kw = dict(input_channel=4, base_channel=16, out_channel=128,
+              sparse_shape_xyz=GRID, capacity=64,
+              compute_dtype=jnp.float32)
+    ext = PackedLiDAREnc8x(**kw)
+    ztap = PackedLiDAREnc8x(ztap_levels=(1,), **kw)
+    vs = ext.init(jax.random.PRNGKey(7), mask0, train=True)
+    _, st_e = ext.apply(vs, mask0, train=True, mutable=["batch_stats"])
+    _, st_z = ztap.apply(vs, mask0, train=True, mutable=["batch_stats"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-4),
+        st_e, st_z)
