@@ -127,6 +127,9 @@ class PtsBranchConfig:
     # 'gather' otherwise; an explicit 'packed'/'dense' with another encoder
     # raises in CoOccRay._pts_voxels.
     impl: str = "auto"
+    # res levels of the packed encoder to run in z-batch tap-fused form
+    # (see nn/sparse_enc_packed._ZTapBasicBlock); empty = ext conv
+    ztap_levels: Tuple[int, ...] = ()
     input_channel: int = 4
     base_channel: int = 16
     out_channel: int = 128

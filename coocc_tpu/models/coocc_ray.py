@@ -108,13 +108,16 @@ class CoOccRay(nn.Module):
                 batch.points, batch.points_mask)
             enc_cls = (PackedLiDAREnc8x if impl == "packed"
                        else DenseLiDAREnc8x)
+            kw = {}
+            if impl == "packed":
+                kw["ztap_levels"] = tuple(pts.ztap_levels)
             dense = enc_cls(
                 input_channel=pts.input_channel, base_channel=pts.base_channel,
                 out_channel=pts.out_channel,
                 sparse_shape_xyz=pts.sparse_shape_xyz,
                 capacity=max_vox,
                 compute_dtype=self.dtype or jnp.float32,
-                name="pts_middle_encoder",
+                name="pts_middle_encoder", **kw,
             )(mask0, train=train)
             return dense.astype(self.dtype or jnp.float32)
 

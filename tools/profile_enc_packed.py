@@ -61,6 +61,9 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
+    ztap = tuple(int(x) for x in sys.argv[1].split(",")) \
+        if len(sys.argv) > 1 and sys.argv[1] else ()
+    print(f"[ztap_levels {ztap}]", flush=True)
     prev = 0.0
     for stop in ["stem", "res1", "res2", "res3", None]:
         enc = PackedLiDAREnc8x(
@@ -69,7 +72,8 @@ def main():
             out_channel=pts_cfg.out_channel,
             sparse_shape_xyz=pts_cfg.sparse_shape_xyz,
             capacity=pts_cfg.max_voxels_test,
-            compute_dtype=jnp.bfloat16, stop_after=stop)
+            compute_dtype=jnp.bfloat16, stop_after=stop,
+            ztap_levels=ztap)
         vs = jax.jit(enc.init, static_argnames="train")(
             jax.random.PRNGKey(0), mask0, train=False)
 
