@@ -362,7 +362,37 @@ class _StridedParamsTwin(nn.Module):
         w = self.param("weight", _kaiming, (27, self.cin, self.cout))
         if op == "weight":
             return w
+        if op == "norm_zb":
+            # x_pb is a z-batch [B, Z, X, Y, C] tensor, maskf_pc a [B, Z,
+            # X, Y] float mask; identical math/params to the packed norm.
+            return _ZbBN(self.cout, name="norm")(x_pb, maskf_pc, train)
         return _PackedBN(self.cout, name="norm")(x_pb, maskf_pc, train)
+
+
+def _ztap_strided_weight(w27: jnp.ndarray) -> jnp.ndarray:
+    """[27, Ci, Co] -> [3, 3, 3*Ci, Co] for the z-batch strided conv.
+
+    The z-batch strided conv gathers the three z input taps (zi = 2*zo +
+    dz - 1) into the CHANNEL dim, so the weight is the three kz slices
+    stacked tap-major along the input channels. FLOPs equal the RAW conv3d
+    — the lane-major `_strided_weight` form multiplies (z_in - 3) zero
+    blocks per output z instead.
+    """
+    k3, Ci, Co = w27.shape
+    w3 = w27.reshape(3, 3, 3, Ci, Co)
+    return jnp.concatenate([w3[:, :, dz] for dz in range(3)], axis=2)
+
+
+def _zb_strided_taps(x_zb: jnp.ndarray) -> jnp.ndarray:
+    """z-batch [B, Z, X, Y, C] -> [B, Z//2, X, Y, 3*C] stride-2 z taps.
+
+    out[:, zo, ..., t*C:(t+1)*C] = x[:, 2*zo + t - 1] (zero-padded in z).
+    """
+    B, Z, X, Y, C = x_zb.shape
+    Zo = Z // 2
+    xp = jnp.pad(x_zb, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    taps = [xp[:, t:t + 2 * (Zo - 1) + 1:2] for t in range(3)]
+    return jnp.concatenate(taps, axis=-1)
 
 
 class PackedLiDAREnc8x(nn.Module):
@@ -382,9 +412,118 @@ class PackedLiDAREnc8x(nn.Module):
     # res levels to run in z-batch tap-fused form instead of the packed
     # block-tridiagonal ext conv (same params; see _ZTapBasicBlock)
     ztap_levels: Tuple[int, ...] = ()
+    # z-batch stem + strided downsamples (raw-conv3d FLOPs; the lane-major
+    # strided weights are ~90% structural zeros). MEASURED SLOWER on v5e
+    # (stem 9.3 vs 9.0 ms, full encoder 84 vs 46 ms): the fat lane-major
+    # convs run near MXU peak and the tap-gather transposes dominate the
+    # saved MACs. Kept as an equivalence-tested reference point.
+    zb_down: bool = False
 
     @nn.compact
     def __call__(self, sp, train: bool = False):
+        if self.zb_down:
+            return self._forward_zb(sp, train)
+        return self._forward_packed(sp, train)
+
+    def _forward_zb(self, sp, train: bool):
+        """Hybrid layout: z-batch stem + strided downsamples, packed res.
+
+        Same parameter/variable tree as _forward_packed (scope twins all
+        the way down); differs only in compute layout. The stem consumes
+        3 z-taps of the occupancy mask per output slice instead of the
+        [3, 3, Z0, Z1*C1] block-banded lane-major weight (Z0/3 ~= 21x
+        fewer MACs), and each strided downsample consumes [.., 3*Cin]
+        tap channels instead of [.., Zin*Cin] lanes (Zin/3 fewer MACs).
+        Res blocks stay in the packed block-tridiagonal form: its 2x MAC
+        redundancy measures FASTER than the z-batch tap form, whose
+        batch-axis shift-adds cannot fuse into the conv (measured 49 ms
+        packed vs 105 ms z-batch for the full encoder on v5e).
+        """
+        b = self.base_channel
+        cd = self.compute_dtype
+        X0, Y0, Z0 = self.sparse_shape_xyz
+        assert b == 16, "level-0 collapse assumes GroupNorm(16, base=16)"
+
+        if isinstance(sp, SparseTensor):
+            mask0 = _dense_mask(sp, (X0, Y0, Z0))
+        else:
+            mask0 = sp
+        mask0f = mask0.astype(cd)  # [B, X0, Y0, Z0]
+        B = mask0f.shape[0]
+
+        # --- level-0 collapse, z-batch stem (see _forward_packed)
+        w_stem = _WeightHolder((27, self.input_channel, b),
+                               name="conv_input")()  # ckpt parity
+        del w_stem
+        gn_mod = _PerCellGN(16, name="gn_input")
+        stem_const = nn.relu(gn_mod(jnp.zeros((1, b), jnp.float32),
+                                    jnp.ones((1,), bool))[0])
+        down1 = _StridedParamsTwin(b, b * 2, name="down1")
+        wd = down1("weight")  # [27, b, 2b]
+        w_eff = jnp.einsum("kio,i->ko", wd.astype(jnp.float32),
+                           stem_const)  # [27, 2b]
+
+        C, Z = b * 2, Z0 // 2
+        X, Y = X0 // 2, Y0 // 2
+        wz = w_eff.reshape(3, 3, 3, C)  # (kx, ky, kz==tap, Co)
+        mp = jnp.pad(mask0f, ((0, 0), (0, 0), (0, 0), (1, 1)))
+        x3 = jnp.stack(
+            [mp[..., t:t + 2 * (Z - 1) + 1:2] for t in range(3)], axis=-1)
+        x3 = jnp.transpose(x3, (0, 3, 1, 2, 4)).reshape(B * Z, X0, Y0, 3)
+        d = _conv2d(x3, wz, 2).reshape(B, Z, X, Y, C).astype(cd)
+
+        cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
+        mask_lm = cnt > 0.5  # [B, X, Y, Z]
+
+        # -> packed layout for norm + res blocks
+        p = _pick_pack(C, Z)
+        dp = _zb_to_pb(d, p)
+        mf = jnp.repeat(_mask_pb(mask_lm, p), C, axis=-1).astype(cd)
+        dp = down1("norm", dp * mf, mf, train)
+        dp = nn.relu(dp)
+        if self.stop_after == "stem":
+            return dp
+
+        dp = _PackedBasicBlock(C, name="res1_0")(dp, mf, train)
+        dp = _PackedBasicBlock(C, name="res1_1")(dp, mf, train)
+        if self.stop_after == "res1":
+            return dp
+
+        for lvl in (2, 3):
+            C_out = C * 2
+            down = _StridedParamsTwin(C, C_out, name=f"down{lvl}")
+            wdn = _ztap_strided_weight(down("weight"))  # [3,3,3C,Co]
+            x3 = _zb_strided_taps(_pb_to_zb(dp, C))  # [B, Z//2, X, Y, 3C]
+            Zo = Z // 2
+            d = _conv2d(x3.reshape(B * Zo, X, Y, 3 * C), wdn, 2)
+            X, Y, Z, C = X // 2, Y // 2, Zo, C_out
+            d = d.reshape(B, Z, X, Y, C).astype(cd)
+            cnt = _conv2d(mask_lm.astype(cd),
+                          _dilate_weight(mask_lm.shape[-1], cd), 2)
+            mask_lm = cnt > 0.5
+            p = _pick_pack(C, Z)
+            dp = _zb_to_pb(d, p)
+            mf = jnp.repeat(_mask_pb(mask_lm, p), C, axis=-1).astype(cd)
+            dp = down("norm", dp * mf, mf, train)
+            dp = nn.relu(dp)
+            dp = _PackedBasicBlock(C, name=f"res{lvl}_0")(dp, mf, train)
+            dp = _PackedBasicBlock(C, name=f"res{lvl}_1")(dp, mf, train)
+            if self.stop_after == f"res{lvl}":
+                return dp
+
+        Co = self.out_channel
+        mcell = _mask_pb(mask_lm, p)  # [B, bz, X, Y, p]
+        mof = jnp.repeat(mcell, Co, axis=-1).astype(cd)
+        dp = _PackedSubM(Co, name="conv_out")(dp, mof, C)
+        d5 = dp.reshape(dp.shape[:-1] + (p, Co))
+        g = _PerCellGN(16, name="gn_out")(d5.astype(jnp.float32), mcell)
+        g = nn.relu(g)
+        B_, bz, Xs, Ys, _, _ = g.shape
+        out = jnp.transpose(g, (0, 2, 3, 1, 4, 5)).reshape(
+            B_, Xs, Ys, bz * p, Co)
+        return out.astype(jnp.float32)
+
+    def _forward_packed(self, sp, train: bool = False):
         b = self.base_channel
         cd = self.compute_dtype
         X0, Y0, Z0 = self.sparse_shape_xyz
