@@ -102,10 +102,13 @@ class CoOccRay(nn.Module):
             from ..nn.sparse_enc_dense import DenseLiDAREnc8x
             from ..nn.sparse_enc_packed import PackedLiDAREnc8x
             from ..ops.voxelize import voxelize_mask
-            mask0 = jax.vmap(lambda p, m: voxelize_mask(
-                p, m, cfg.point_cloud_range, pts.voxel_size,
-                pts.sparse_shape_xyz, max_voxels=max_vox))(
-                batch.points, batch.points_mask)
+            # python loop over the static batch dim, NOT vmap: the batched
+            # scatter lowers ~2x slower than B unbatched scatters on TPU
+            mask0 = jnp.stack([
+                voxelize_mask(batch.points[b], batch.points_mask[b],
+                              cfg.point_cloud_range, pts.voxel_size,
+                              pts.sparse_shape_xyz, max_voxels=max_vox)
+                for b in range(batch.points.shape[0])])
             enc_cls = (PackedLiDAREnc8x if impl == "packed"
                        else DenseLiDAREnc8x)
             kw = {}
@@ -224,9 +227,13 @@ class CoOccRay(nn.Module):
             train=train, fine_rng=fine_rng)
 
         outs = dict(head_out)
-        outs["depth_prob"] = depth_prob
-        outs["voxel_feats"] = voxel_feats
-        outs["geom"] = geom
+        if train:
+            # training intermediates for the loss fns (depth BCE, renderer);
+            # the reference's simple_test returns only occupancy outputs
+            # (coocc_ray.py:520-656), so eval graphs skip materializing these
+            outs["depth_prob"] = depth_prob
+            outs["voxel_feats"] = voxel_feats
+            outs["geom"] = geom
 
         if cfg.render.use_rendering and (train or cfg.render.test_rendering):
             # the reference renders on a stride-16 frustum and upsamples x16

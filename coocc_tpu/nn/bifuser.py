@@ -61,8 +61,13 @@ class BiFuserN(nn.Module):
             g_pts = gather_knn(pts_b.reshape(-1, C), nn_pts)
             return g_img, g_pts, pts_active, img_active
 
-        g_img, g_pts, pts_active, img_active = jax.vmap(fuse_one)(
-            img_feats, pts_feats)
+        # python loop over the (static, small) batch dim, NOT vmap: batched
+        # gathers/min-reductions lower measurably worse than their unbatched
+        # forms on TPU (same pathology as the vmapped lift-splat sort)
+        per = [fuse_one(img_feats[b], pts_feats[b])
+               for b in range(B)]
+        g_img, g_pts, pts_active, img_active = (
+            jnp.stack([t[i] for t in per]) for i in range(4))
 
         fused_img = nn.relu(knn_enc(g_img)) * pts_feats
         fused_img = fused_img * pts_active[..., None]

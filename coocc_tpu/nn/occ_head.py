@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config.base import OccHeadConfig
-from ..ops.grid_sample import (grid_sample_2d, grid_sample_3d,
+from ..ops.grid_sample import (cascade_sample_3d, grid_sample_2d,
+                               grid_sample_3d, multicam_bilinear_gemm,
                                multicam_grid_sample_2d)
 from ..ops.interpolate import resize_trilinear_chlast
 from .layers import BatchNorm, Conv3d, GroupNorm, Linear
@@ -78,14 +79,23 @@ def select_occupied(coarse_mask: jnp.ndarray, capacity: int,
     n = flat.shape[0]
     if rng is not None:
         prio = jax.random.uniform(rng, (n,))
+        score = jnp.where(flat, prio, -jnp.inf)
+        # NOTE: lax.top_k with k ~ 20000 lowers to an O(n*k) TopK on TPU
+        # (terabytes of modeled traffic); a full argsort is n log n and
+        # orders of magnitude faster here.
+        idx = jnp.argsort(-score)[:capacity]
+        valid = flat[idx]
     else:
-        prio = -jnp.arange(n, dtype=jnp.float32)
-    score = jnp.where(flat, prio, -jnp.inf)
-    # NOTE: lax.top_k with k ~ 20000 lowers to an O(n*k) TopK on TPU (terabytes
-    # of modeled traffic); a full argsort is n log n and orders of magnitude
-    # faster here.
-    idx = jnp.argsort(-score)[:capacity]
-    valid = flat[idx]
+        # eval keeps index order: occupancy-rank prefix sum + scatter of
+        # cell ids beats the argsort (1.3 ms -> ~0 on-chip); invalid slots
+        # read cell 0 with valid=False (the argsort path reads arbitrary
+        # unoccupied cells there — both are masked downstream)
+        fi = flat.astype(jnp.int32)
+        rank = jnp.cumsum(fi) - fi
+        tgt = jnp.where(flat & (rank < capacity), rank, capacity)
+        idx = jnp.zeros((capacity + 1,), jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:capacity]
+        valid = jnp.arange(capacity) < jnp.sum(fi)
     z = idx % Z
     y = (idx // Z) % Y
     x = idx // (Z * Y)
@@ -253,13 +263,11 @@ class OccHead(nn.Module):
             fvalid = jnp.repeat(valid, ratio ** 3)
             acc = b1.astype(jnp.float32)
             if cfg.sample_from_voxel:
-                norm = (fine.astype(jnp.float32)
-                        / (jnp.array([W_occ, H_occ, D_occ], jnp.float32) - 1)
-                        - 0.5) * 2
-                # volume arranged [Z, Y, X, C]; grid (x, y, z) torch-style
-                vol = jnp.transpose(blended_b, (2, 1, 0, 3))
-                sampled = grid_sample_3d(vol, norm, align_corners=False,
-                                         padding_mode="zeros")
+                # windowed batched-GEMM twin of trilinear grid_sample over
+                # the children (see ops.grid_sample.cascade_sample_3d)
+                sampled = cascade_sample_3d(
+                    blended_b, coords, ratio, (W_occ, H_occ, D_occ),
+                    compute_dtype=cd)
                 acc = acc + sampled.astype(jnp.float32)
             if Cimg:
                 rots, trans, intrins, post_rots, post_trans, bda = tr_b
@@ -269,10 +277,9 @@ class OccHead(nn.Module):
                     pts_range=cfg.point_cloud_range, img_hw=cfg.input_size,
                     occ_whd=(W_occ, H_occ, D_occ),
                     data_type=cfg.data_type)
-                s = multicam_grid_sample_2d(
-                    imf_b, uv, align_corners=True,
-                    padding_mode="zeros")  # [N, P, 64]
-                s = (s * m[..., None]).sum(0) + bf.astype(cd)  # [P, 64]
+                s = multicam_bilinear_gemm(
+                    imf_b, uv, m, align_corners=True,
+                    compute_dtype=cd) + bf.astype(cd)  # [P, 64]
                 s = nn.relu(img_mlp_gn(s))
                 acc = acc + (s @ k1[Cvox:].astype(cd)).astype(jnp.float32)
             x = nn.relu(fine_gn(acc))

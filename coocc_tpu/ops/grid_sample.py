@@ -105,6 +105,115 @@ def grid_sample_3d(vol, grid, *, align_corners=False, padding_mode="zeros"):
     return out
 
 
+def multicam_bilinear_gemm(imgs, grid, mask, *, align_corners=True,
+                           compute_dtype=None):
+    """Masked camera-sum of bilinear samples as ONE one-hot GEMM.
+
+    Computes sum_cam mask[cam] * grid_sample_2d(imgs[cam], grid[cam]) with
+    zeros padding, by folding the bilinear weights, out-of-bounds zeroing,
+    camera mask and camera-sum into a [P, N*H*W] one-hot weight matrix
+    multiplied with the flattened feature table. The tables here are tiny
+    (stride-16 feature maps), so the MXU matmul replaces 4*N gather+lerp
+    chains — measured 8.0 -> 0.53 ms at the r50 cascade shapes on v5e.
+
+    imgs: [N, H, W, C]; grid: [N, P, 2] (x, y) in [-1, 1]; mask: [N, P].
+    Returns [P, C] (fp32 accumulated, cast to compute_dtype if given).
+    """
+    import jax as _jax
+
+    N, H, W, C = imgs.shape
+    P = grid.shape[1]
+    cd = compute_dtype or imgs.dtype
+    ix = _unnormalize(grid[..., 0], W, align_corners).T  # [P, N]
+    iy = _unnormalize(grid[..., 1], H, align_corners).T
+    x0 = jnp.floor(ix).astype(jnp.int32)
+    y0 = jnp.floor(iy).astype(jnp.int32)
+    wx = (ix - x0).astype(cd)
+    wy = (iy - y0).astype(cd)
+    xi = jnp.arange(W, dtype=jnp.int32)
+    yi = jnp.arange(H, dtype=jnp.int32)
+    md = mask.T.astype(cd)  # [P, N]
+    # separable one-hot-of-2 rows; out-of-range corners simply never match
+    # the iota (== zeros padding)
+    wxr = ((xi == x0[..., None]).astype(cd) * (1 - wx)[..., None]
+           + (xi == (x0 + 1)[..., None]).astype(cd) * wx[..., None])
+    wyr = ((yi == y0[..., None]).astype(cd) * (1 - wy)[..., None]
+           + (yi == (y0 + 1)[..., None]).astype(cd) * wy[..., None])
+    wyr = wyr * md[..., None]
+    Wm = (wyr[..., :, None] * wxr[..., None, :]).reshape(P, N * H * W)
+    out = _jax.lax.dot_general(
+        Wm, imgs.reshape(N * H * W, C).astype(cd),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out.astype(cd)
+
+
+def cascade_sample_3d(vol_xyz, coarse, ratio, final_size, *,
+                      compute_dtype=None):
+    """Trilinear samples of all ratio^3 children of coarse cells, windowed.
+
+    Numerically equals (validated on-chip, bf16 rounding):
+        fine = fine_coordinates(coarse, ratio)
+        norm = (fine / (final_size - 1) - 0.5) * 2
+        grid_sample_3d(transpose(vol_xyz, (2,1,0,3)), norm,
+                       align_corners=False, padding_mode='zeros')
+    but gathers ONE 3x3 xy window of full-z columns per coarse cell (9 rows
+    instead of 64 corner rows) and resolves all 8 corners x r^3 children
+    with a per-cell [r^3, 9*Z] @ [9*Z, C] batched GEMM built from separable
+    one-hot corner weights. Measured 9.5 -> 2.0 ms at the r50 shapes.
+
+    The 3-slot window is sufficient whenever vol*ratio == final grid
+    (child ix span = (ratio-1)*V/(S-1) < 1), true for every shipped config.
+
+    vol_xyz: [X, Y, Z, C]; coarse: [K, 3] int. Returns [K*ratio^3, C].
+    """
+    Xv, Yv, Zv = vol_xyz.shape[:3]
+    C = vol_xyz.shape[-1]
+    SX, SY, SZ = [int(s) for s in final_size]
+    K = coarse.shape[0]
+    r = int(ratio)
+    cd = compute_dtype or vol_xyz.dtype
+
+    def axis_w(cc, S, V):
+        ch = jnp.arange(r, dtype=jnp.int32)
+        fine = cc[:, None] * r + ch  # [K, r]
+        normf = (fine.astype(jnp.float32) / (S - 1) - 0.5) * 2
+        ixf = _unnormalize(normf, V, False)
+        x0 = jnp.floor(ixf).astype(jnp.int32)
+        fx = ixf - x0
+        base = jnp.clip(x0[:, 0], 0, V - 3)  # [K]
+        slot = jnp.arange(3, dtype=jnp.int32)
+        absx = base[:, None, None] + slot
+        okl = (x0 >= 0) & (x0 < V)
+        okh = (x0 + 1 >= 0) & (x0 + 1 < V)
+        w = ((absx == x0[..., None]) * ((1 - fx) * okl)[..., None]
+             + (absx == (x0 + 1)[..., None]) * (fx * okh)[..., None])
+        return base, w.astype(jnp.float32)  # [K], [K, r, 3]
+
+    bx, wx = axis_w(coarse[:, 0], SX, Xv)
+    by, wy = axis_w(coarse[:, 1], SY, Yv)
+    bz, wz = axis_w(coarse[:, 2], SZ, Zv)
+
+    tab = vol_xyz.reshape(Xv * Yv, Zv * C)
+    i3 = jnp.arange(3, dtype=jnp.int32)
+    rows = ((bx[:, None, None] + i3[None, :, None]) * Yv
+            + by[:, None, None] + i3[None, None, :])  # [K, 3, 3]
+    Ncol = tab[rows.reshape(-1)].reshape(K, 9 * Zv, C)
+
+    zslot = jnp.arange(Zv, dtype=jnp.int32)
+    wzf = jnp.zeros((K, r, Zv), jnp.float32)
+    for s in range(3):
+        wzf = wzf + wz[:, :, s:s + 1] * (
+            zslot[None, None, :] == (bz[:, None, None] + s))
+
+    Wc = (wx[:, :, None, None, :, None, None]
+          * wy[:, None, :, None, None, :, None]
+          * wzf[:, None, None, :, None, None, :])
+    Wc = Wc.reshape(K, r ** 3, 9 * Zv).astype(cd)
+    out = jnp.einsum("qck,qkd->qcd", Wc, Ncol.astype(cd),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(K * r ** 3, C).astype(cd)
+
+
 def multicam_grid_sample_2d(imgs, grid, *, align_corners=False,
                             padding_mode="zeros"):
     """Batched-camera bilinear sampling through ONE flattened table.

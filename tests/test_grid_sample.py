@@ -85,3 +85,58 @@ def test_multicam_matches_vmapped():
                                           padding_mode=pm)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_multicam_bilinear_gemm_matches_masked_sum(rng):
+    from coocc_tpu.ops.grid_sample import multicam_bilinear_gemm
+
+    N, H, W, C, P = 4, 5, 9, 8, 37
+    imgs = rng.randn(N, H, W, C).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, size=(N, P, 2)).astype(np.float32)
+    mask = rng.uniform(size=(N, P)) < 0.5
+    ref = 0.0
+    for n in range(N):
+        s = np.asarray(grid_sample_2d(
+            jnp.asarray(imgs[n]), jnp.asarray(grid[n]),
+            align_corners=True, padding_mode="zeros"))
+        ref = ref + s * mask[n][:, None]
+    got = np.asarray(multicam_bilinear_gemm(
+        jnp.asarray(imgs), jnp.asarray(grid), jnp.asarray(mask),
+        align_corners=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_sample_3d_matches_grid_sample(rng):
+    from coocc_tpu.nn.occ_head import fine_coordinates
+    from coocc_tpu.ops.grid_sample import cascade_sample_3d
+
+    for (Xv, Yv, Zv, ratio) in ((10, 12, 4, 2), (8, 8, 5, 4)):
+        SX, SY, SZ = Xv * ratio, Yv * ratio, Zv * ratio
+        C, K = 6, 50
+        vol = rng.randn(Xv, Yv, Zv, C).astype(np.float32)
+        coarse = np.stack([
+            rng.randint(0, Xv, size=K), rng.randint(0, Yv, size=K),
+            rng.randint(0, Zv, size=K)], -1).astype(np.int32)
+        fine = np.asarray(fine_coordinates(jnp.asarray(coarse), ratio))
+        norm = (fine.astype(np.float32)
+                / (np.array([SX, SY, SZ], np.float32) - 1) - 0.5) * 2
+        ref = np.asarray(grid_sample_3d(
+            jnp.asarray(np.transpose(vol, (2, 1, 0, 3))), jnp.asarray(norm),
+            align_corners=False, padding_mode="zeros"))
+        got = np.asarray(cascade_sample_3d(
+            jnp.asarray(vol), jnp.asarray(coarse), ratio, (SX, SY, SZ)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_select_occupied_eval_rank_order(rng):
+    """Eval path (rank-scatter) keeps index order with exact cap semantics."""
+    from coocc_tpu.nn.occ_head import select_occupied
+
+    mask = rng.uniform(size=(7, 6, 5)) < 0.3
+    for cap in (4, 64, 500):
+        coords, valid = select_occupied(jnp.asarray(mask), cap, None)
+        coords, valid = np.asarray(coords), np.asarray(valid)
+        occ = np.argwhere(mask)  # index (row-major) order
+        nkeep = min(cap, len(occ))
+        assert valid[:nkeep].all() and not valid[nkeep:].any()
+        np.testing.assert_array_equal(coords[:nkeep], occ[:nkeep])

@@ -77,8 +77,13 @@ def make_timer(reps: int = 3, iters: int = 8):
 
                 aa = jax.tree.map(bump, list(a))
                 out = fn(*aa)
-                leaf = jax.tree.leaves(out)[0]
-                s = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                # reduce EVERY leaf: reducing only the first leaf lets XLA
+                # dead-code-eliminate whole sub-paths (observed: the cascade
+                # head measured 4 ms standalone vs 32 ms in-graph because
+                # dict leaf #1 was fine_coords, which needs only the argsort)
+                s = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                        for l in jax.tree.leaves(out)
+                        if hasattr(l, "dtype")) * 1e-30
                 return c + s, None
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return c
