@@ -203,19 +203,21 @@ class CoOccRay(nn.Module):
         else:
             voxel_feats = img_voxel if pts_voxel is None else pts_voxel
 
+        # the semantic stack runs z-batch-resident end-to-end (one boundary
+        # transpose instead of two per conv3d; identical params/math)
         mid = CustomResNet3D(
             depth=cfg.semantic.depth,
             block_inplanes=cfg.semantic.block_inplanes,
             block_strides=cfg.semantic.block_strides,
             out_indices=cfg.semantic.out_indices,
             dtype=self.dtype, name="semantic_encoder",
-        )(voxel_feats, train=train)
+        )(voxel_feats, train=train, zb=True, zb_out=True)
         semantic = FPN3D(
             in_channels=cfg.semantic.block_inplanes,
             out_channels=cfg.semantic.neck_out_channels,
             with_cp=cfg.semantic.neck_with_cp and train,
             dtype=self.dtype, name="semantic_neck",
-        )(mid, train=train)
+        )(mid, train=train, zb=True)
 
         transform = None
         if batch.rots is not None:
@@ -224,7 +226,7 @@ class CoOccRay(nn.Module):
         head_out = OccHead(cfg=cfg.occ_head, dtype=self.dtype,
                            name="pts_bbox_head")(
             list(semantic), img_feats=img_feats, transform=transform,
-            train=train, fine_rng=fine_rng)
+            train=train, fine_rng=fine_rng, zb=True)
 
         outs = dict(head_out)
         if train:

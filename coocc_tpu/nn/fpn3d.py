@@ -12,7 +12,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..ops.interpolate import resize_trilinear_chlast
+from ..ops.interpolate import resize_linear, resize_trilinear_chlast
 from .layers import BatchNorm, Conv3d
 
 
@@ -23,10 +23,10 @@ class _ConvNormReLU3D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, zb: bool = False):
         k = (self.kernel,) * 3
         x = Conv3d(self.features, k, (1, 1, 1), self.padding, use_bias=False,
-                   dtype=self.dtype, name="conv")(x)
+                   dtype=self.dtype, name="conv")(x, zb=zb)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="bn")(x)
         return nn.relu(x)
@@ -39,26 +39,34 @@ class FPN3D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, inputs, train: bool = False):
+    def __call__(self, inputs, train: bool = False, zb: bool = False):
+        """zb=True: inputs/outputs are z-batch-resident [B, Z, X, Y, C]
+        (same params; pairs with CustomResNet3D(zb=True, zb_out=True))."""
         assert len(inputs) == len(self.in_channels)
         n = len(inputs)
         block = _ConvNormReLU3D
         if self.with_cp:
-            block = nn.remat(block, static_argnums=(2,))
+            block = nn.remat(block, static_argnums=(2, 3))
 
         laterals = [
             block(self.out_channels, 1, 0, dtype=self.dtype,
-                  name=f"lateral{i}")(inputs[i], train)
+                  name=f"lateral{i}")(inputs[i], train, zb)
             for i in range(n)
         ]
         for i in range(n - 1, 0, -1):
-            up = resize_trilinear_chlast(
-                laterals[i], laterals[i - 1].shape[-4:-1], align_corners=False)
+            if zb:
+                tgt = laterals[i - 1].shape[1:4]  # (Z, X, Y)
+                up = resize_linear(laterals[i], tgt, (1, 2, 3),
+                                   align_corners=False)
+            else:
+                up = resize_trilinear_chlast(
+                    laterals[i], laterals[i - 1].shape[-4:-1],
+                    align_corners=False)
             laterals[i - 1] = laterals[i - 1] + up
 
         outs = [
             block(self.out_channels, 3, 1, dtype=self.dtype,
-                  name=f"fpn{i}")(laterals[i], train)
+                  name=f"fpn{i}")(laterals[i], train, zb)
             for i in range(n)
         ]
         return tuple(outs)

@@ -83,10 +83,15 @@ class Conv3d(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, zb: bool = False):
         import os
         pads = _pad_tuple(self.padding, 3)
         kx, ky, kz = self.kernel_size
+        if zb:
+            # z-batch-RESIDENT layout [B, Z, X, Y, C] in and out: skips the
+            # two 20MB+ moveaxis transposes _zbatch pays per call (measured
+            # 1.54 -> 0.47 ms for a stage-1 semantic block on v5e)
+            return self._zbatch_resident(x, pads)
         if x.ndim == 5 and self.groups == 1 and kz > 1 \
                 and not os.environ.get("COOCC_CONV3D_NATIVE"):
             return self._zbatch(x, pads)
@@ -100,6 +105,50 @@ class Conv3d(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+
+    def _zbatch_resident(self, x, pads):
+        """x: [B, Z, X, Y, C] -> [B, Zout, Xout, Yout, Co] (z in batch)."""
+        import jax
+
+        kx, ky, kz = self.kernel_size
+        sx, sy, sz = self.stride
+        B, Z, X, Y, C = x.shape
+        kernel, bias = _Conv3dParams(self.features, self.kernel_size, C,
+                                     self.use_bias, name="conv")()
+        cd = self.dtype or x.dtype
+        xc = x.astype(cd)
+        w = kernel.astype(cd)
+        (plo, phi) = pads[2]
+        Zout = (Z + plo + phi - kz) // sz + 1
+        if kz == 1:
+            xt = xc[:, ::sz] if sz > 1 else xc
+            xt = xt[:, :Zout].reshape(B * Zout, X, Y, C)
+            out = jax.lax.conv_general_dilated(
+                xt, w[:, :, 0], (sx, sy), [pads[0], pads[1]],
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            out = out.reshape(B, Zout, out.shape[1], out.shape[2], -1)
+        else:
+            Zpad = Z + plo + phi
+            xt = jnp.pad(xc, ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
+            xt = xt.reshape(B * Zpad, X, Y, C)
+            out = None
+            for dz in range(kz):
+                y = jax.lax.conv_general_dilated(
+                    xt, w[:, :, dz], (sx, sy), [pads[0], pads[1]],
+                    feature_group_count=self.groups,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                Xo, Yo, Co = y.shape[1], y.shape[2], y.shape[3]
+                y = y.reshape(B, Zpad, Xo, Yo, Co)
+                y = jax.lax.slice_in_dim(y, dz, dz + (Zout - 1) * sz + 1, sz,
+                                         axis=1)
+                out = y if out is None else out + y
+        out = out.astype(cd)
+        if bias is not None:
+            out = out + bias.astype(cd)
+        return out
 
     def _zbatch(self, x, pads):
         import jax

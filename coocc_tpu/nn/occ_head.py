@@ -25,7 +25,7 @@ from ..config.base import OccHeadConfig
 from ..ops.grid_sample import (cascade_sample_3d, grid_sample_2d,
                                grid_sample_3d, multicam_bilinear_gemm,
                                multicam_grid_sample_2d)
-from ..ops.interpolate import resize_trilinear_chlast
+from ..ops.interpolate import resize_linear, resize_trilinear_chlast
 from .layers import BatchNorm, Conv3d, GroupNorm, Linear
 
 
@@ -59,9 +59,9 @@ class _OccConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, zb: bool = False):
         x = Conv3d(self.mid, (3, 3, 3), (1, 1, 1), 1, use_bias=False,
-                   dtype=self.dtype, name="conv")(x)
+                   dtype=self.dtype, name="conv")(x, zb=zb)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="bn")(x)
         return nn.relu(x)
@@ -166,55 +166,68 @@ class OccHead(nn.Module):
     cfg: OccHeadConfig
     dtype: Any = None
 
-    def _coarse(self, voxel_feats, train):
+    def _coarse(self, voxel_feats, train, zb=False):
+        """zb=True: voxel_feats are z-batch-resident [B, Z, X, Y, C]; the
+        returned blended/logits are in the same layout."""
         cfg = self.cfg
         mid = cfg.in_channels[0] // 2
         outs = [
             _OccConv(cfg.in_channels[i] // 2, dtype=self.dtype,
-                     name=f"occ_conv{i}")(voxel_feats[i], train)
+                     name=f"occ_conv{i}")(voxel_feats[i], train, zb)
             for i in range(cfg.num_level)
         ]
         if cfg.soft_weights:
             w = Conv3d(mid // 2, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
-                       dtype=self.dtype, name="soft_w_conv0")(outs[0])
+                       dtype=self.dtype, name="soft_w_conv0")(outs[0], zb=zb)
             w = BatchNorm(use_running_average=not train, dtype=self.dtype,
                           name="soft_w_bn")(w)
             w = nn.relu(w)
             w = Conv3d(cfg.num_level, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
-                       dtype=self.dtype, name="soft_w_conv1")(w)
-            weights = nn.softmax(w, axis=-1)  # [B, X, Y, Z, L]
+                       dtype=self.dtype, name="soft_w_conv1")(w, zb=zb)
+            weights = nn.softmax(w, axis=-1)  # [B, ..., L]
         else:
             weights = jnp.full(outs[0].shape[:-1] + (cfg.num_level,),
                                1.0 / cfg.num_level, outs[0].dtype)
 
-        size = outs[0].shape[-4:-1]
+        size = outs[0].shape[1:4] if zb else outs[0].shape[-4:-1]
         blended = 0.0
         for i, f in enumerate(outs):
-            if f.shape[-4:-1] != size:
-                f = resize_trilinear_chlast(f, size, align_corners=False)
+            if f.shape[1:4] != size:
+                if zb:
+                    f = resize_linear(f, size, (1, 2, 3),
+                                      align_corners=False)
+                else:
+                    f = resize_trilinear_chlast(f, size,
+                                                align_corners=False)
             blended = blended + f * weights[..., i:i + 1]
 
         x = Conv3d(mid // 2, (1, 1, 1), (1, 1, 1), 0, use_bias=False,
-                   dtype=self.dtype, name="pred_conv0")(blended)
+                   dtype=self.dtype, name="pred_conv0")(blended, zb=zb)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="pred_bn")(x)
         x = nn.relu(x)
         logits = Conv3d(cfg.out_channel, (1, 1, 1), (1, 1, 1), 0,
                         use_bias=False, dtype=self.dtype,
-                        name="pred_conv1")(x)
+                        name="pred_conv1")(x, zb=zb)
         return blended, logits
 
     @nn.compact
     def __call__(self, voxel_feats, img_feats=None, transform=None,
-                 train: bool = False, fine_rng: Optional[jax.Array] = None):
-        """voxel_feats: list of [B, X, Y, Z, C]; img_feats: [B, N, fH, fW, C2].
+                 train: bool = False, fine_rng: Optional[jax.Array] = None,
+                 zb: bool = False):
+        """voxel_feats: list of [B, X, Y, Z, C] (or z-batch [B, Z, X, Y, C]
+        when zb=True); img_feats: [B, N, fH, fW, C2].
 
         Returns dict with 'occ' (coarse logits [B, X, Y, Z, out]), and when
         cascade is on: 'fine_logits' [B, K*r^3, out], 'fine_coords'
         [B, K*r^3, 3], 'fine_valid' [B, K*r^3].
         """
         cfg = self.cfg
-        blended, logits = self._coarse(voxel_feats, train)
+        blended, logits = self._coarse(voxel_feats, train, zb)
+        if zb:
+            # back to channels-last [B, X, Y, Z, C] for outputs + cascade
+            blended = jnp.transpose(blended, (0, 2, 3, 1, 4))
+            logits = jnp.transpose(logits, (0, 2, 3, 1, 4))
         out = {"occ": logits}
         if cfg.cascade_ratio == 1 or not (cfg.sample_from_voxel
                                           or cfg.sample_from_img):

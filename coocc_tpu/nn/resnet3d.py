@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .layers import BatchNorm, Conv3d
 
@@ -24,20 +25,22 @@ class BasicBlock3D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, zb: bool = False):
+        """zb=True: x is z-batch-resident [B, Z, X, Y, C] (same params)."""
         s = (self.stride,) * 3
         out = Conv3d(self.planes, (3, 3, 3), s, 1, use_bias=False,
-                     dtype=self.dtype, name="conv1")(x)
+                     dtype=self.dtype, name="conv1")(x, zb=zb)
         out = BatchNorm(use_running_average=not train, dtype=self.dtype,
                         name="bn1")(out)
         out = nn.relu(out)
         out = Conv3d(self.planes, (3, 3, 3), (1, 1, 1), 1, use_bias=False,
-                     dtype=self.dtype, name="conv2")(out)
+                     dtype=self.dtype, name="conv2")(out, zb=zb)
         out = BatchNorm(use_running_average=not train, dtype=self.dtype,
                         name="bn2")(out)
         if self.has_downsample:
             identity = Conv3d(self.planes, (1, 1, 1), s, 0, use_bias=False,
-                              dtype=self.dtype, name="downsample_conv")(x)
+                              dtype=self.dtype, name="downsample_conv")(
+                x, zb=zb)
             identity = BatchNorm(use_running_average=not train,
                                  dtype=self.dtype, name="downsample_bn")(identity)
         else:
@@ -54,10 +57,17 @@ class CustomResNet3D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, zb: bool = False,
+                 zb_out: bool = False):
+        """zb=True computes (and with zb_out=True also returns) every stage
+        in z-batch-resident [B, Z, X, Y, C] layout — identical params/math,
+        one boundary transpose instead of two per conv."""
         layers = RESNET3D_LAYERS[self.depth]
+        if zb:
+            x = jnp.transpose(x, (0, 3, 1, 2, 4))  # [B, Z, X, Y, C]
         x = Conv3d(self.block_inplanes[0], (1, 1, 1), (1, 1, 1), 0,
-                   use_bias=False, dtype=self.dtype, name="input_proj_conv")(x)
+                   use_bias=False, dtype=self.dtype,
+                   name="input_proj_conv")(x, zb=zb)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="input_proj_bn")(x)
         x = nn.relu(x)
@@ -71,8 +81,10 @@ class CustomResNet3D(nn.Module):
                 needs_ds = (b == 0) and (s != 1 or in_planes != planes)
                 x = BasicBlock3D(planes=planes, stride=s,
                                  has_downsample=needs_ds, dtype=self.dtype,
-                                 name=f"layer{i}_{b}")(x, train=train)
+                                 name=f"layer{i}_{b}")(x, train=train, zb=zb)
                 in_planes = planes
             if i in self.out_indices:
-                outs.append(x)
+                outs.append(
+                    jnp.transpose(x, (0, 2, 3, 1, 4))
+                    if (zb and not zb_out) else x)
         return tuple(outs)

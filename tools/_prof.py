@@ -65,14 +65,26 @@ def make_timer(reps: int = 3, iters: int = 8):
 
         def scanned(*a):
             def body(c, _):
-                # carry-dependent zero-perturbation of EVERY float leaf, so
-                # no input-dependent compute is loop-invariant (hoistable)
-                pert = c * 0.0
+                # carry-dependent perturbation of EVERY float leaf, so no
+                # input-dependent compute is loop-invariant (hoistable).
+                # MUST NOT be c * 0.0: XLA constant-folds that to zero and
+                # hoists the whole body (observed: a 3.8 ms conv "measured"
+                # 0.26 ms). c ~ 1e-30-scaled sums, so the value perturbation
+                # is far below bf16 resolution.
+                pert = c * jnp.float32(1e-8)
 
                 def bump(x):
-                    if hasattr(x, "dtype") and jnp.issubdtype(
-                            jnp.asarray(x).dtype, jnp.floating):
+                    if not hasattr(x, "dtype"):
+                        return x
+                    dt = jnp.asarray(x).dtype
+                    if jnp.issubdtype(dt, jnp.floating):
                         return x + pert.astype(x.dtype)
+                    if dt == jnp.bool_:
+                        # carry-dependent no-op XLA cannot fold: pert is a
+                        # traced float, so (pert > 1e30) is not provably F
+                        return x ^ (pert > jnp.float32(1e30))
+                    if jnp.issubdtype(dt, jnp.integer):
+                        return x + (pert > jnp.float32(1e30)).astype(dt)
                     return x
 
                 aa = jax.tree.map(bump, list(a))
