@@ -329,10 +329,19 @@ class _PackedSubM(nn.Module):
 
     @nn.compact
     def __call__(self, x_pb, maskf_pc_out, C_in):
+        import os
         w = self.param("weight", _kaiming, (27, C_in, self.features))
         p = x_pb.shape[-1] // C_in
         wext = _subm_ext_weight(w, p)
-        y = _conv2d_pb(_shift_ext(x_pb, C_in), wext).astype(x_pb.dtype)
+        mode = os.environ.get("COOCC_PALLAS_SUBM", "")
+        if mode and (mode == "interpret" or jax.default_backend() == "tpu"):
+            # fused Pallas kernel: the 192-lane ext concat never hits HBM
+            # (numerics identical: bf16 operands, fp32 accum)
+            from ..ops.pallas.subm_conv import subm_ext_conv
+            y = subm_ext_conv(x_pb, wext, bz=x_pb.shape[1], C=C_in,
+                              interpret=(mode == "interpret"))
+        else:
+            y = _conv2d_pb(_shift_ext(x_pb, C_in), wext).astype(x_pb.dtype)
         return y * maskf_pc_out
 
 
