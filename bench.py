@@ -49,6 +49,15 @@ def main():
     from coocc_tpu.utils.init_utils import jit_init
 
     cfg = get_config("coocc_multi_r50_256x704")
+    ztap = os.environ.get("BENCH_ZTAP", "")
+    if ztap:
+        # A/B knob: run the packed encoder's res levels in z-batch tap-fused
+        # form, e.g. BENCH_ZTAP=1,2 (see nn/sparse_enc_packed.py)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, pts=dataclasses.replace(
+                cfg.pts,
+                ztap_levels=tuple(int(t) for t in ztap.split(","))))
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[
         os.environ.get("BENCH_DTYPE", "bf16")]
     model = CoOccRay(cfg=cfg, dtype=dtype)

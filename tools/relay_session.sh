@@ -1,0 +1,43 @@
+#!/bin/bash
+# Unattended TPU measurement sequence for when the axon relay recovers.
+# Serialized (1-core host); never kills a client mid-compile.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/relay_session.log
+echo "=== relay session start $(date)" >> $LOG
+
+# 1. probe until the relay answers (tiny matmul, 10 min per attempt)
+until timeout 600 python - >> $LOG 2>&1 <<'EOF'
+import jax, time
+import jax.numpy as jnp
+t0 = time.perf_counter()
+d = jax.devices()
+x = jnp.ones((1024, 1024), jnp.bfloat16)
+print("probe ok:", d, float(jax.jit(lambda a: (a @ a).sum())(x)),
+      f"{time.perf_counter()-t0:.1f}s", flush=True)
+EOF
+do
+  echo "probe failed $(date), retrying in 120s" >> $LOG
+  sleep 120
+done
+
+echo "=== relay alive $(date)" >> $LOG
+
+# 2. Pallas SubM A/B (fastest to compile, biggest single lever)
+python tools/perf_session11.py >> $LOG 2>&1
+echo "=== ps11 done $(date)" >> $LOG
+
+# 3. encoder ztap A/B + image/semantic breakdowns
+python tools/perf_session.py >> $LOG 2>&1
+echo "=== perf_session done $(date)" >> $LOG
+
+# 4. fresh per-stage breakdown at HEAD (fuser/semantic opts unmeasured)
+python tools/profile_stages.py >> $LOG 2>&1
+echo "=== profile_stages done $(date)" >> $LOG
+
+# 5. bench: default flags
+python bench.py > /tmp/bench_default.json 2>> $LOG
+echo "=== bench default done $(date)" >> $LOG
+cat /tmp/bench_default.json >> $LOG
+
+echo "=== relay session complete $(date)" >> $LOG
