@@ -40,4 +40,8 @@ python bench.py > /tmp/bench_default.json 2>> $LOG
 echo "=== bench default done $(date)" >> $LOG
 cat /tmp/bench_default.json >> $LOG
 
+# 6. render rays/sec (BASELINE metric axis)
+python tools/bench_render.py >> $LOG 2>&1
+echo "=== bench_render done $(date)" >> $LOG
+
 echo "=== relay session complete $(date)" >> $LOG
