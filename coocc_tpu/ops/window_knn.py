@@ -59,13 +59,25 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     No scan — ~k passes over the [O, X*Y*Z] shifted-activity tensor.
     """
     assert k == 2, "window_knn is specialized for k=2 (GSFusion knum)"
+    import os
+
     X, Y, Z = key_mask.shape
     O = offsets.shape[0]
     rx, ry, rz = [int(np.abs(offsets[:, i]).max()) for i in range(3)]
-
-    padded = jnp.pad(key_mask, ((rx, rx), (ry, ry), (rz, rz)))
     n = X * Y * Z
     BIG = jnp.int32(O)
+
+    mode = os.environ.get("COOCC_PALLAS_KNN", "")
+    if mode and (mode == "interpret" or jax.default_backend() == "tpu"):
+        # VMEM-resident best-2 rank kernel: avoids materializing the
+        # [O, n] plane tensor in HBM (numerics identical)
+        from .pallas.window_knn import window_knn_best2
+        b1, b2 = window_knn_best2(key_mask, offsets,
+                                  interpret=(mode == "interpret"))
+        return _ranks_to_ids(b1.reshape(n), b2.reshape(n), offsets,
+                             (X, Y, Z), k)
+
+    padded = jnp.pad(key_mask, ((rx, rx), (ry, ry), (rz, rz)))
 
     # Build ALL window planes with ~(2rx + 2ry + 2rz + 3) hierarchical
     # slices (a per-offset loop costs >1000 op launches), then find the two
@@ -97,9 +109,17 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     best2_16 = jnp.min(vals2, axis=0)
     best1 = jnp.minimum(best1_16.astype(jnp.int32), BIG)
     best2 = jnp.minimum(best2_16.astype(jnp.int32), BIG)
+    return _ranks_to_ids(best1, best2, offsets, (X, Y, Z), k)
 
+
+def _ranks_to_ids(best1, best2, offsets, shape, k):
+    """Distance-ranks [n] i32 (O = none) -> neighbour ids [X, Y, Z, k]."""
+    X, Y, Z = shape
+    n = X * Y * Z
+    O = offsets.shape[0]
     # neighbour linear id = cell id + per-offset delta (out-of-range offsets
-    # are never active in `padded`, so wraparound ids are never selected)
+    # are never active in the padded mask, so wraparound ids are never
+    # selected)
     delta = jnp.asarray(
         (offsets[:, 0] * Y + offsets[:, 1]) * Z + offsets[:, 2]
     ).astype(jnp.int32)  # [O]

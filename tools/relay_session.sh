@@ -27,6 +27,10 @@ echo "=== relay alive $(date)" >> $LOG
 python tools/perf_session11.py >> $LOG 2>&1
 echo "=== ps11 done $(date)" >> $LOG
 
+# 2b. Pallas window-KNN A/B (fuser hotspot)
+python tools/perf_session12.py >> $LOG 2>&1
+echo "=== ps12 done $(date)" >> $LOG
+
 # 3. encoder ztap A/B + image/semantic breakdowns
 python tools/perf_session.py >> $LOG 2>&1
 echo "=== perf_session done $(date)" >> $LOG
