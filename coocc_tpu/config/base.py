@@ -76,11 +76,20 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class ImageBackboneConfig:
-    """ResNet-2D backbone. Reference config: coocc_multi_r50_256x704.py:97-106."""
-    depth: int = 50                     # 50 or 101
+    """2D image backbone. Reference config: coocc_multi_r50_256x704.py:97-106.
+
+    type selects ResNet (the live configs) or SwinTransformer (the
+    reference's registered alternative, swintransformer.py:465)."""
+    type: str = "ResNet"                # "ResNet" | "SwinTransformer"
+    depth: int = 50                     # 50 or 101 (ResNet)
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = 0
     norm_eval: bool = False
+    # Swin knobs (Swin-T defaults)
+    embed_dims: int = 96
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
 
 
 @dataclass(frozen=True)

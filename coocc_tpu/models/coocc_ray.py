@@ -67,9 +67,19 @@ class CoOccRay(nn.Module):
         cfg = self.cfg
         B, N, H, W, _ = batch.imgs.shape
         x = batch.imgs.reshape(B * N, H, W, 3)
-        feats = ResNet(depth=cfg.img_backbone.depth,
-                       norm_eval=cfg.img_backbone.norm_eval,
-                       dtype=self.dtype, name="img_backbone")(x, train=train)
+        if cfg.img_backbone.type == "SwinTransformer":
+            from ..nn.swin import SwinTransformer
+            feats = SwinTransformer(
+                embed_dims=cfg.img_backbone.embed_dims,
+                depths=cfg.img_backbone.swin_depths,
+                num_heads=cfg.img_backbone.swin_num_heads,
+                window_size=cfg.img_backbone.window_size,
+                out_indices=cfg.img_backbone.out_indices,
+                dtype=self.dtype, name="img_backbone")(x, train=train)
+        else:
+            feats = ResNet(depth=cfg.img_backbone.depth,
+                           norm_eval=cfg.img_backbone.norm_eval,
+                           dtype=self.dtype, name="img_backbone")(x, train=train)
         x = SECONDFPN(in_channels=cfg.img_neck.in_channels,
                       out_channels=cfg.img_neck.out_channels,
                       upsample_strides=cfg.img_neck.upsample_strides,
