@@ -53,8 +53,9 @@ def sine_positional_encoding_3d(shape: Tuple[int, int, int], num_feats: int,
 
     def pos(e):
         p = e[:, None] / dim_t
-        return jnp.stack([jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])],
-                         axis=-1).reshape(e.shape[0], num_feats)
+        # even channels sin, odd channels cos (works for odd num_feats too)
+        even = jnp.arange(num_feats) % 2 == 0
+        return jnp.where(even[None], jnp.sin(p), jnp.cos(p))
 
     px = jnp.broadcast_to(pos(axis_embed(X))[:, None, None, :],
                           (X, Y, Z, num_feats))
