@@ -221,6 +221,39 @@ class Mask2FormerOccHead(nn.Module):
         return {"cls_preds": cls_preds, "mask_preds": mask_preds, "occ": occ}
 
 
+def format_panoptic_results(cls_pred, mask_pred, thing_indices):
+    """Panoptic composition (reference mask2former_nusc_panoptic_occ.py:
+    749-784): each voxel takes its argmax query's class; stuff classes get
+    label*1000, thing voxels get label*1000 + a per-query instance id.
+
+    Host-side eval formatting (numpy). Returns (semantic [B, X, Y, Z],
+    panoptic [B, X, Y, Z]) int64 arrays.
+    """
+    cls_np = np.asarray(cls_pred, np.float32)
+    mask_np = np.asarray(mask_pred, np.float32)
+    B = cls_np.shape[0]
+    sem_out, pan_out = [], []
+    for b in range(B):
+        probs = np.exp(cls_np[b] - cls_np[b].max(-1, keepdims=True))
+        probs = (probs / probs.sum(-1, keepdims=True))[..., :-1]
+        labels = probs.argmax(-1)                      # [Q]
+        vox_q = mask_np[b].argmax(0)                   # [X, Y, Z]
+        sem = labels[vox_q]
+        pan = np.zeros_like(sem, np.int64)
+        instance_id = 1
+        for label_id in np.unique(sem):
+            label_mask = sem == label_id
+            if int(label_id) not in thing_indices:
+                pan[label_mask] = int(label_id) * 1000
+                continue
+            for q in np.unique(vox_q[label_mask]):
+                pan[vox_q == q] = int(label_id) * 1000 + instance_id
+                instance_id += 1
+        sem_out.append(sem.astype(np.int64))
+        pan_out.append(pan)
+    return np.stack(sem_out), np.stack(pan_out)
+
+
 def format_results(cls_pred, mask_pred):
     """softmax(cls)[..., :-1] x sigmoid(mask) -> [B, X, Y, Z, num_classes]
     (reference mask2former_nusc_occ.py:691-696)."""

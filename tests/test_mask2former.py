@@ -79,3 +79,23 @@ def test_loss_prefers_correct_prediction(rng):
     tot_bad = sum(float(v) for v in l_bad.values())
     assert np.isfinite(tot_good) and np.isfinite(tot_bad)
     assert tot_good < tot_bad
+
+
+def test_format_panoptic_results(rng):
+    from coocc_tpu.nn.mask2former_occ import format_panoptic_results
+    Q, NC = 3, 4
+    cls = np.full((1, Q, NC + 1), -5.0, np.float32)
+    cls[0, 0, 1] = 5.0   # thing class 1
+    cls[0, 1, 1] = 5.0   # second instance of class 1
+    cls[0, 2, 2] = 5.0   # stuff class 2
+    mask = np.full((1, Q, 2, 2, 1), -5.0, np.float32)
+    mask[0, 0, 0] = 5.0       # query 0 owns row x=0
+    mask[0, 1, 1, 0] = 5.0    # query 1 owns (1, 0)
+    mask[0, 2, 1, 1] = 5.0    # query 2 owns (1, 1)
+    sem, pan = format_panoptic_results(jnp.asarray(cls), jnp.asarray(mask),
+                                       thing_indices=(1,))
+    assert sem.shape == (1, 2, 2, 1) and pan.shape == (1, 2, 2, 1)
+    np.testing.assert_array_equal(sem[0, :, :, 0], [[1, 1], [1, 2]])
+    assert pan[0, 1, 1, 0] == 2000          # stuff: label*1000
+    thing_ids = {int(pan[0, 0, 0, 0]), int(pan[0, 1, 0, 0])}
+    assert all(1000 < i < 2000 for i in thing_ids) and len(thing_ids) == 2
