@@ -94,6 +94,56 @@ def majority_vote_densify(coords: np.ndarray, labels: np.ndarray,
     return voxel.reshape(X, Y, Z)
 
 
+def load_panoptic_voxel_gt(points: np.ndarray, panoptic_labels: np.ndarray,
+                           learning_map, pc_range, voxel_size, grid_size,
+                           unoccupied_id: int = 17) -> np.ndarray:
+    """Voxelize panoptic point labels by majority vote.
+
+    Reference: LoadNuscPanopticOccupancyAnnotations
+    (loading_nusc_panoptic_occ.py:76-165): labels are general_class*1000 +
+    instance; the general class is remapped through `learning_map` keeping
+    the instance id; points are CLIPPED into range (not dropped); the
+    per-voxel vote excludes the noise label 0 unless it is alone
+    (numba counter[0]=0 before argmax); empty voxels get 0, noise-won
+    voxels get 65535 (ignore).
+
+    Returns [X, Y, Z] int64 panoptic grid (mapped_class*1000 + instance).
+    """
+    pcr = np.asarray(pc_range, np.float64)
+    vs = np.asarray(voxel_size, np.float64)
+    X, Y, Z = [int(g) for g in grid_size]
+
+    sem = (panoptic_labels // 1000).astype(np.int64)
+    inst = (panoptic_labels % 1000).astype(np.int64)
+    mapped = np.asarray([learning_map.get(int(c), 0)
+                         for c in np.unique(sem)])
+    lut = np.zeros(int(sem.max(initial=0)) + 1, np.int64)
+    for c, m in zip(np.unique(sem), mapped):
+        lut[c] = m
+    lab = lut[sem] * 1000 + inst
+
+    eps = 1e-5
+    xyz = np.clip(points[:, :3], pcr[:3], pcr[3:] - eps)
+    ijk = np.floor((xyz - pcr[:3]) / vs).astype(np.int64)
+    lid = (ijk[:, 0] * Y + ijk[:, 1]) * Z + ijk[:, 2]
+
+    mult = int(lab.max(initial=0)) + 1
+    key = lid * mult + lab
+    uniq, counts = np.unique(key, return_counts=True)
+    uvox = uniq // mult
+    ulab = uniq % mult
+    counts = np.where(ulab == 0, 0, counts)  # noise never outvotes
+    o = np.lexsort((ulab, -counts, uvox))
+    first = np.ones(len(o), bool)
+    first[1:] = uvox[o][1:] != uvox[o][:-1]
+
+    grid = np.full(X * Y * Z, unoccupied_id * 1000, np.int64)
+    grid[uvox[o][first]] = ulab[o][first]
+    grid[grid == 0] = 65535                   # noise-won -> ignore
+    grid[grid == unoccupied_id * 1000] = 0    # empty -> free
+    return grid.reshape(X, Y, Z)
+
+
 def world_to_voxel(points: np.ndarray, pc_range, voxel_size) -> np.ndarray:
     pcr = np.asarray(pc_range)
     vs = np.asarray(voxel_size)
