@@ -44,7 +44,13 @@ python bench.py > /tmp/bench_default.json 2>> $LOG
 echo "=== bench default done $(date)" >> $LOG
 cat /tmp/bench_default.json >> $LOG
 
-# 6. render rays/sec (BASELINE metric axis)
+# 6. bench: all gated candidates on (component A/Bs above explain deltas)
+BENCH_ZTAP=1,2 COOCC_PALLAS_SUBM=1 COOCC_PALLAS_KNN=1 \
+  python bench.py > /tmp/bench_candidates.json 2>> $LOG
+echo "=== bench candidates done $(date)" >> $LOG
+cat /tmp/bench_candidates.json >> $LOG
+
+# 7. render rays/sec (BASELINE metric axis)
 python tools/bench_render.py >> $LOG 2>&1
 echo "=== bench_render done $(date)" >> $LOG
 
