@@ -144,7 +144,6 @@ class Mask2FormerOccHead(nn.Module):
         assert len(memories) == self.num_feat_levels, \
             "need num_feat_levels+1 pyramid levels (finest + memories)"
         B = mask_features.shape[0]
-        nf = C // 3 + (C - 3 * (C // 3))  # x gets the channel remainder
 
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (self.num_feat_levels, C))
