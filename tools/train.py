@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--cfg-options", nargs="*", default=[],
                    help="key=value overrides on the top-level config")
+    # multi-host launch (tools/dist_train.sh; reference dist_train.sh:1-17)
+    p.add_argument("--dist-coordinator", default=None,
+                   help="coordinator host:port for jax.distributed")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -60,6 +65,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    if args.dist_num_processes:
+        from coocc_tpu.parallel.distributed import init_distributed
+        init_distributed(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
 
     from coocc_tpu.config import get_config
     from coocc_tpu.data.synthetic import synthetic_batch, tiny_config
