@@ -86,6 +86,51 @@ def _strided_weight(w27: jnp.ndarray, z_in: int) -> jnp.ndarray:
     return out.reshape(3, 3, z_in * Ci, z_out * Co)
 
 
+def _strided_packed_weight(w27: jnp.ndarray, p_in: int,
+                           p_out: int) -> jnp.ndarray:
+    """[27, Ci, Co] -> [3, 3, (p_in+2)*Ci, p_out*Co] for a stride-2-z conv
+    computed IN PACKED LAYOUT (z packs stay in the batch dim).
+
+    With p_in == 2*p_out the pack row is preserved: output slot so reads
+    input slots u = 2*so + dz - 1 in [-1, p_in-1], i.e. only the dn
+    (prev-pack-last) carry lane group of _shift_ext is ever used. FLOPs
+    are 9*(p_in+2)*Ci*p_out*Co per site vs the lane-major _strided_weight
+    form's 9*(Z*Ci)*(Z/2*Co) — ~5.5x fewer at the r50 res1->res2 shapes
+    (the lane-major weight is >80% structural zeros).
+    """
+    k3, Ci, Co = w27.shape
+    assert k3 == 27
+    w3 = w27.reshape(3, 3, 3, Ci, Co)
+    blocks = []
+    for so in range(p_out):
+        col = [jnp.zeros((3, 3, Ci, Co), w27.dtype) for _ in range(p_in + 2)]
+        for dz in range(3):
+            u = 2 * so + dz - 1
+            if 0 <= u < p_in:
+                col[u] = col[u] + w3[:, :, dz]
+            elif u == -1:
+                col[p_in + 1] = col[p_in + 1] + w3[:, :, dz]  # dn carry
+            elif u == p_in:
+                col[p_in] = col[p_in] + w3[:, :, dz]          # up carry
+        blocks.append(jnp.concatenate(col, axis=2))
+    return jnp.concatenate(blocks, axis=3)
+
+
+def _dilate_packed_weight(p_in: int, p_out: int, dtype) -> jnp.ndarray:
+    """0/1 [3, 3, p_in+2, p_out] mask-dilation weight in packed layout."""
+    w = np.zeros((3, 3, p_in + 2, p_out), np.float32)
+    for so in range(p_out):
+        for dz in range(3):
+            u = 2 * so + dz - 1
+            if 0 <= u < p_in:
+                w[:, :, u, so] = 1.0
+            elif u == -1:
+                w[:, :, p_in + 1, so] = 1.0
+            elif u == p_in:
+                w[:, :, p_in, so] = 1.0
+    return jnp.asarray(w, dtype)
+
+
 def _dilate_weight(z_in: int, dtype) -> jnp.ndarray:
     """0/1 [3, 3, z_in, z_in//2] mask-dilation weight (k3 s2 p1)."""
     z_out = z_in // 2
@@ -533,6 +578,8 @@ class PackedLiDAREnc8x(nn.Module):
         return out.astype(jnp.float32)
 
     def _forward_packed(self, sp, train: bool = False):
+        import os
+
         b = self.base_channel
         cd = self.compute_dtype
         X0, Y0, Z0 = self.sparse_shape_xyz
@@ -559,13 +606,32 @@ class PackedLiDAREnc8x(nn.Module):
                            stem_const)[:, None, :]  # [27, 1, 2b]
 
         C1, Z1 = b * 2, Z0 // 2
-        d_lm = _conv2d(mask0f, _strided_weight(w_eff, Z0), 2).astype(cd)
-        cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
-        mask1_lm = cnt > 0.5  # [B, X1, Y1, Z1]
-
         p1 = _pick_pack(C1, Z1)
-        d = _lm_to_pb(d_lm, Z1, C1, p1)
-        m1 = _mask_pb(mask1_lm, p1)
+        bz1 = Z1 // p1
+        p_in = Z0 // bz1
+        lane_major = bool(os.environ.get("COOCC_LANE_MAJOR_STRIDED")) \
+            or p_in != 2 * p1
+        if lane_major:
+            # legacy form: ONE stride-2 conv2d with the z taps unrolled
+            # into [3, 3, Z0, Z1*C1] lanes (>90% structural zeros)
+            d_lm = _conv2d(mask0f, _strided_weight(w_eff, Z0), 2).astype(cd)
+            cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
+            mask1_lm = cnt > 0.5  # [B, X1, Y1, Z1]
+            d = _lm_to_pb(d_lm, Z1, C1, p1)
+            m1 = _mask_pb(mask1_lm, p1)
+        else:
+            # packed stride-2-z stem: z packs in the batch dim, raw-conv
+            # FLOPs (~6x fewer), output directly in packed layout
+            B = mask0f.shape[0]
+            m_pb = jnp.transpose(
+                mask0f.reshape(B, X0, Y0, bz1, p_in), (0, 3, 1, 2, 4))
+            ext = _shift_ext(m_pb, 1)
+            d = _conv2d_pb(
+                ext, _strided_packed_weight(w_eff, p_in, p1), 2).astype(cd)
+            cnt = _conv2d_pb(ext, _dilate_packed_weight(p_in, p1, cd), 2)
+            m1 = cnt > 0.5  # [B, bz1, X1, Y1, p1]
+            mask1_lm = jnp.transpose(m1, (0, 2, 3, 1, 4)).reshape(
+                B, X0 // 2, Y0 // 2, Z1)
         m1f = jnp.repeat(m1, C1, axis=-1).astype(cd)
         d = down1("norm", d * m1f, m1f, train)
         d = nn.relu(d)
@@ -589,14 +655,31 @@ class PackedLiDAREnc8x(nn.Module):
             C_out = C * 2
             down = _StridedParamsTwin(C, C_out, name=f"down{lvl}")
             wdn = down("weight")
-            d_lm = _pb_to_lm(d, C)
-            d_lm = _conv2d(d_lm, _strided_weight(wdn, Z), 2).astype(cd)
-            cnt = _conv2d(mask_lm.astype(cd), _dilate_weight(Z, cd), 2)
-            mask_lm = cnt > 0.5
-            Z, C = Z // 2, C_out
-            p = _pick_pack(C, Z)
-            d = _lm_to_pb(d_lm, Z, C, p)
-            mf = jnp.repeat(_mask_pb(mask_lm, p), C, axis=-1).astype(cd)
+            p_out = _pick_pack(C_out, Z // 2)
+            if lane_major or p != 2 * p_out:
+                d_lm = _pb_to_lm(d, C)
+                d_lm = _conv2d(d_lm, _strided_weight(wdn, Z), 2).astype(cd)
+                cnt = _conv2d(mask_lm.astype(cd), _dilate_weight(Z, cd), 2)
+                mask_lm = cnt > 0.5
+                Z, C = Z // 2, C_out
+                p = _pick_pack(C, Z)
+                d = _lm_to_pb(d_lm, Z, C, p)
+                mcell = _mask_pb(mask_lm, p)
+            else:
+                # packed stride-2-z downsample: pack rows preserved, only
+                # the dn carry participates (see _strided_packed_weight)
+                d = _conv2d_pb(
+                    _shift_ext(d, C),
+                    _strided_packed_weight(wdn, p, p_out), 2).astype(cd)
+                mpf = _mask_pb(mask_lm, p).astype(cd)
+                cnt = _conv2d_pb(_shift_ext(mpf, 1),
+                                 _dilate_packed_weight(p, p_out, cd), 2)
+                mcell = cnt > 0.5  # [B, bz, X/2, Y/2, p_out]
+                B = d.shape[0]
+                Z, C, p = Z // 2, C_out, p_out
+                mask_lm = jnp.transpose(mcell, (0, 2, 3, 1, 4)).reshape(
+                    B, d.shape[2], d.shape[3], Z)
+            mf = jnp.repeat(mcell, C, axis=-1).astype(cd)
             d = down("norm", d * mf, mf, train)
             d = nn.relu(d)
             if lvl in self.ztap_levels:

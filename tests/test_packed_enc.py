@@ -109,3 +109,30 @@ def test_ztap_train_stats_match():
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), atol=1e-4),
         st_e, st_z)
+
+
+def test_packed_strided_matches_lane_major(rng, monkeypatch):
+    """The packed stride-2-z stem/downsample path must equal the legacy
+    lane-major unrolled form bit-for-tolerance (same params)."""
+    import jax
+    import jax.numpy as jnp
+    from coocc_tpu.nn.sparse_enc_packed import PackedLiDAREnc8x
+
+    shape = (32, 32, 32)  # Z0=32 -> Z1=16, p1=4, bz=4, p_in=8 (packed path)
+    mask = jnp.asarray(rng.rand(1, *shape) < 0.05)
+    enc = PackedLiDAREnc8x(sparse_shape_xyz=shape, capacity=512)
+    v = enc.init(jax.random.PRNGKey(0), mask, train=False)
+    # at default init the stem collapse is exactly zero (gn_input bias=0);
+    # randomize the params (not the BN running stats) so the strided convs
+    # see real data
+    leaves, tree = jax.tree.flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    v = {**v, "params": jax.tree.unflatten(tree, [
+        jax.random.normal(k, x.shape, jnp.float32) * 0.3
+        for k, x in zip(keys, leaves)])}
+
+    got = np.asarray(enc.apply(v, mask, train=False))
+    monkeypatch.setenv("COOCC_LANE_MAJOR_STRIDED", "1")
+    ref = np.asarray(enc.apply(v, mask, train=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert np.abs(got).max() > 0
