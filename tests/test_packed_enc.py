@@ -136,3 +136,31 @@ def test_packed_strided_matches_lane_major(rng, monkeypatch):
     ref = np.asarray(enc.apply(v, mask, train=False))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
     assert np.abs(got).max() > 0
+
+
+@pytest.mark.parametrize("p_in,p_out,Ci,Co", [
+    (4, 2, 32, 64),   # r50 res1 -> res2
+    (2, 1, 64, 128),  # r50 res2 -> res3
+    (8, 4, 1, 32),    # packed stem (mask input)
+])
+def test_strided_packed_weight_equivalence(rng, p_in, p_out, Ci, Co):
+    """Packed stride-2-z conv == lane-major unrolled strided conv."""
+    import jax.numpy as jnp
+    from coocc_tpu.nn.sparse_enc_packed import (_conv2d, _conv2d_pb,
+                                                _lm_to_pb, _pb_to_lm,
+                                                _shift_ext, _strided_weight,
+                                                _strided_packed_weight)
+
+    B, bz, X, Y = 1, 3, 8, 8
+    Z_in = bz * p_in
+    w27 = jnp.asarray(0.1 * rng.randn(27, Ci, Co).astype(np.float32))
+    x_pb = jnp.asarray(rng.randn(B, bz, X, Y, p_in * Ci).astype(np.float32))
+
+    got = _conv2d_pb(_shift_ext(x_pb, Ci),
+                     _strided_packed_weight(w27, p_in, p_out), 2)
+
+    x_lm = _pb_to_lm(x_pb, Ci)  # [B, X, Y, Z_in*Ci]
+    ref_lm = _conv2d(x_lm, _strided_weight(w27, Z_in), 2)
+    ref = _lm_to_pb(ref_lm, Z_in // 2, Co, p_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
