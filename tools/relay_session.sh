@@ -31,6 +31,10 @@ echo "=== ps11 done $(date)" >> $LOG
 python tools/perf_session12.py >> $LOG 2>&1
 echo "=== ps12 done $(date)" >> $LOG
 
+# 2c. packed-strided vs lane-major A/B
+python tools/perf_session13.py >> $LOG 2>&1
+echo "=== ps13 done $(date)" >> $LOG
+
 # 3. encoder ztap A/B + image/semantic breakdowns
 python tools/perf_session.py >> $LOG 2>&1
 echo "=== perf_session done $(date)" >> $LOG
