@@ -8,9 +8,11 @@ the converter (coocc_tpu.train.checkpoint).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import BatchNorm, Conv2d, max_pool_2d
@@ -81,6 +83,55 @@ class BasicBlock2d(nn.Module):
         return nn.relu(out + identity)
 
 
+class _KernelLeaf(nn.Module):
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _StemKernel(nn.Module):
+    """Param holder matching Conv2d's tree: <scope>/conv/kernel."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _KernelLeaf(self.shape, name="conv")()
+
+
+def _s2d_stem_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """[7, 7, 3, Co] -> [4, 4, 12, Co] exact space-to-depth stem weight.
+
+    With x' the factor-2 space-to-depth of x (channel order (r, s, c):
+    x'[a, b, r*6+s*3+c] = x[2a+r, 2b+s, c]), the 7x7 stride-2 pad-3 conv of
+    x equals a 4x4 stride-1 conv of x' padded (2, 1): output row i reads
+    input rows 2i-3..2i+3 = s2d rows i-2..i+1, each (u-3) splitting as
+    2*((u-3)//2) + ((u-3)%2).  Raises the contraction density from 3 to 12
+    input channels (the 3-channel conv wastes >90% of the MXU's lane dim)
+    for 4*4*12/147 = 1.31x the MACs.
+    """
+    k1, k2, Ci, Co = w.shape
+    assert (k1, k2, Ci) == (7, 7, 3)
+    w2 = jnp.zeros((4, 4, 12, Co), w.dtype)
+    for u in range(7):
+        ka, r = (u - 3) // 2 + 2, (u - 3) % 2
+        for v in range(7):
+            kb, s = (v - 3) // 2 + 2, (v - 3) % 2
+            c0 = r * 6 + s * 3
+            w2 = w2.at[ka, kb, c0:c0 + 3].set(w[u, v])
+    return w2
+
+
+def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4*C], channel order (r, s, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
+
+
 class ResNet(nn.Module):
     """[B*, H, W, 3] -> tuple of stage features at strides 4/8/16/32."""
     depth: int = 50
@@ -94,8 +145,20 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if self.depth >= 50 else BasicBlock2d
         expansion = 4 if self.depth >= 50 else 1
 
-        x = Conv2d(64, (7, 7), (2, 2), 3, use_bias=False, dtype=self.dtype,
-                   name="conv1")(x)
+        s2d = bool(os.environ.get("COOCC_S2D_STEM")) \
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if s2d:
+            # same param tree as the Conv2d branch (conv1/conv/kernel)
+            w = _StemKernel((7, 7, 3, 64), name="conv1")()
+            cd = self.dtype or x.dtype
+            x = jax.lax.conv_general_dilated(
+                _space_to_depth2(x).astype(cd),
+                _s2d_stem_weight(w).astype(cd),
+                (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = Conv2d(64, (7, 7), (2, 2), 3, use_bias=False,
+                       dtype=self.dtype, name="conv1")(x)
         x = BatchNorm(name="bn1", use_running_average=not train or self.norm_eval,
                       dtype=self.dtype)(x)
         x = nn.relu(x)

@@ -121,6 +121,12 @@ def main():
     timed("resnet50 6cam", jax.jit(
         lambda v, x: rn.apply(v, x, train=False)), v_rn, x6)
 
+    # space-to-depth stem A/B (exact rewrite, tests/test_s2d_stem.py)
+    os.environ["COOCC_S2D_STEM"] = "1"
+    timed("resnet50 6cam s2d-stem", jax.jit(
+        lambda v, x: rn.apply(v, x, train=False)), v_rn, x6)
+    del os.environ["COOCC_S2D_STEM"]
+
     feats = jax.jit(lambda v, x: rn.apply(v, x, train=False))(v_rn, x6)
     fpn = SECONDFPN(dtype=jnp.bfloat16)
     v_fpn = jax.jit(fpn.init, static_argnames="train")(
