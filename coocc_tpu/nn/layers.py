@@ -48,6 +48,55 @@ class Conv2d(nn.Module):
         )(x)
 
 
+def _zslice_tap_conv(xc, w, pads, stride, groups):
+    """Sum of per-z-tap conv2ds over z-batched [B, Z, X, Y, C] input.
+
+    For each z tap the needed z planes are sliced on the INPUT side
+    (static strided slice), so the conv computes exactly the slices that
+    reach the output. The padded-stack form (COOCC_ZPAD_STACK=1) instead
+    convolves all Z+plo+phi slices per tap and discards — 27% wasted
+    MACs at Z=8 stride-1, ~60% for stride-2-z, ~67% at Z=1.
+
+    Returns fp32 [B, Zout, Xo, Yo, Co]; numerics identical to the padded
+    form (the dropped taps contributed exact fp32 zeros).
+    """
+    import jax
+
+    sx, sy, sz = stride
+    plo, phi = pads[2]
+    kx, ky, kz, _, Co = w.shape
+    B, Z, X, Y, C = xc.shape
+    Zout = (Z + plo + phi - kz) // sz + 1
+    Xo = (X + pads[0][0] + pads[0][1] - kx) // sx + 1
+    Yo = (Y + pads[1][0] + pads[1][1] - ky) // sy + 1
+    out = None
+    for dz in range(kz):
+        zi0 = dz - plo  # input z read by output 0 for this tap
+        lo = 0 if zi0 >= 0 else (-zi0 + sz - 1) // sz
+        hi = min(Zout - 1, (Z - 1 - zi0) // sz) if zi0 <= Z - 1 else -1
+        if lo > hi:
+            continue  # tap lands entirely in z padding
+        n = hi - lo + 1
+        start = zi0 + sz * lo
+        xs = jax.lax.slice_in_dim(xc, start, start + sz * (n - 1) + 1, sz,
+                                  axis=1)
+        y = jax.lax.conv_general_dilated(
+            xs.reshape(B * n, X, Y, C), w[:, :, dz], (sx, sy),
+            [pads[0], pads[1]], feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y.reshape(B, n, Xo, Yo, Co)
+        full = lo == 0 and hi == Zout - 1
+        if out is None:
+            out = y if full else jnp.zeros(
+                (B, Zout, Xo, Yo, Co), jnp.float32).at[:, lo:hi + 1].set(y)
+        else:
+            out = out + y if full else out.at[:, lo:hi + 1].add(y)
+    if out is None:  # degenerate: every tap in padding
+        out = jnp.zeros((B, Zout, Xo, Yo, Co), jnp.float32)
+    return out
+
+
 class _Conv3dParams(nn.Module):
     """Param holder with nn.Conv's exact tree (kernel [kx,ky,kz,Ci,Co], bias)."""
     features: int
@@ -109,12 +158,14 @@ class Conv3d(nn.Module):
     def _zbatch_resident(self, x, pads):
         """x: [B, Z, X, Y, C] -> [B, Zout, Xout, Yout, Co] (z in batch)."""
         import jax
+        import os
 
         kx, ky, kz = self.kernel_size
         sx, sy, sz = self.stride
         B, Z, X, Y, C = x.shape
-        kernel, bias = _Conv3dParams(self.features, self.kernel_size, C,
-                                     self.use_bias, name="conv")()
+        kernel, bias = _Conv3dParams(self.features, self.kernel_size,
+                                     C // self.groups, self.use_bias,
+                                     name="conv")()
         cd = self.dtype or x.dtype
         xc = x.astype(cd)
         w = kernel.astype(cd)
@@ -129,50 +180,35 @@ class Conv3d(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
             out = out.reshape(B, Zout, out.shape[1], out.shape[2], -1)
+        elif os.environ.get("COOCC_ZPAD_STACK"):
+            out = self._zpad_stack(xc, w, pads)
         else:
-            Zpad = Z + plo + phi
-            xt = jnp.pad(xc, ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
-            xt = xt.reshape(B * Zpad, X, Y, C)
-            out = None
-            for dz in range(kz):
-                y = jax.lax.conv_general_dilated(
-                    xt, w[:, :, dz], (sx, sy), [pads[0], pads[1]],
-                    feature_group_count=self.groups,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32)
-                Xo, Yo, Co = y.shape[1], y.shape[2], y.shape[3]
-                y = y.reshape(B, Zpad, Xo, Yo, Co)
-                y = jax.lax.slice_in_dim(y, dz, dz + (Zout - 1) * sz + 1, sz,
-                                         axis=1)
-                out = y if out is None else out + y
+            out = _zslice_tap_conv(xc, w, pads, self.stride, self.groups)
         out = out.astype(cd)
         if bias is not None:
             out = out + bias.astype(cd)
         return out
 
-    def _zbatch(self, x, pads):
+    def _zpad_stack(self, xc, w, pads):
+        """Legacy padded-stack tap sum (kept for on-chip A/B): convolves all
+        Z+plo+phi slices per tap and slices the OUTPUT, wasting up to 75%
+        of the MACs vs _zslice_tap_conv. xc: [B, Z, X, Y, C] -> fp32
+        [B, Zout, Xo, Yo, Co]."""
         import jax
 
-        kx, ky, kz = self.kernel_size
+        kz = self.kernel_size[2]
         sx, sy, sz = self.stride
-        B, X, Y, Z, C = x.shape
-        kernel, bias = _Conv3dParams(self.features, self.kernel_size, C,
-                                     self.use_bias, name="conv")()
-        cd = self.dtype or x.dtype
-        xc = x.astype(cd)
-        w = kernel.astype(cd)
+        B, Z, X, Y, C = xc.shape
         (plo, phi) = pads[2]
         Zout = (Z + plo + phi - kz) // sz + 1
         Zpad = Z + plo + phi
-        # [B, Zpad, X, Y, C], z in batch. Each z tap runs ONE conv2d over all
-        # padded slices; the outputs are then shift-aligned and summed.
-        xt = jnp.pad(jnp.moveaxis(xc, 3, 1),
-                     ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
+        xt = jnp.pad(xc, ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
         xt = xt.reshape(B * Zpad, X, Y, C)
         out = None
         for dz in range(kz):
             y = jax.lax.conv_general_dilated(
                 xt, w[:, :, dz], (sx, sy), [pads[0], pads[1]],
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
             Xo, Yo, Co = y.shape[1], y.shape[2], y.shape[3]
@@ -180,6 +216,23 @@ class Conv3d(nn.Module):
             y = jax.lax.slice_in_dim(y, dz, dz + (Zout - 1) * sz + 1, sz,
                                      axis=1)
             out = y if out is None else out + y
+        return out
+
+    def _zbatch(self, x, pads):
+        import os
+
+        kx, ky, kz = self.kernel_size
+        B, X, Y, Z, C = x.shape
+        kernel, bias = _Conv3dParams(self.features, self.kernel_size,
+                                     C // self.groups, self.use_bias,
+                                     name="conv")()
+        cd = self.dtype or x.dtype
+        xc = jnp.moveaxis(x.astype(cd), 3, 1)  # [B, Z, X, Y, C]
+        w = kernel.astype(cd)
+        if os.environ.get("COOCC_ZPAD_STACK"):
+            out = self._zpad_stack(xc, w, pads)
+        else:
+            out = _zslice_tap_conv(xc, w, pads, self.stride, 1)
         out = out.astype(cd)
         if bias is not None:
             out = out + bias.astype(cd)

@@ -162,6 +162,28 @@ def main():
     timed("semantic_encoder", jax.jit(
         lambda v, x: sem.apply(v, x, train=False)), v_sem, vox)
 
+    # z-sliced tap conv (default) vs legacy padded stack A/B
+    # (exact rewrite, tests/test_zslice_conv.py)
+    os.environ["COOCC_ZPAD_STACK"] = "1"
+    timed("semantic_encoder zpad-stack", jax.jit(
+        lambda v, x: sem.apply(v, x, train=False)), v_sem, vox)
+    del os.environ["COOCC_ZPAD_STACK"]
+
+    from coocc_tpu.nn.bifuser import BiFuserN
+    fus = BiFuserN(in_channels=128, out_channels=128,
+                   knum=cfg.fuser.knum, dist_thresh=cfg.fuser.dist_thresh,
+                   dtype=jnp.bfloat16)
+    vox2 = jnp.asarray(
+        np.random.RandomState(1).randn(1, Xg, Yg, Zg, 128), jnp.bfloat16)
+    v_fus = jax.jit(fus.init, static_argnames="train")(
+        jax.random.PRNGKey(0), vox, vox2, train=False)
+    timed("fuser", jax.jit(
+        lambda v, a, b: fus.apply(v, a, b, train=False)), v_fus, vox, vox2)
+    os.environ["COOCC_ZPAD_STACK"] = "1"
+    timed("fuser zpad-stack", jax.jit(
+        lambda v, a, b: fus.apply(v, a, b, train=False)), v_fus, vox, vox2)
+    del os.environ["COOCC_ZPAD_STACK"]
+
     mids = jax.jit(lambda v, x: sem.apply(v, x, train=False))(v_sem, vox)
     neck3 = FPN3D(in_channels=cfg.semantic.block_inplanes,
                   out_channels=cfg.semantic.neck_out_channels,

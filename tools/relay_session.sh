@@ -49,7 +49,7 @@ echo "=== bench default done $(date)" >> $LOG
 cat /tmp/bench_default.json >> $LOG
 
 # 6. bench: all gated candidates on (component A/Bs above explain deltas)
-BENCH_ZTAP=1,2 COOCC_PALLAS_SUBM=1 COOCC_PALLAS_KNN=1 \
+BENCH_ZTAP=1,2 COOCC_PALLAS_SUBM=1 COOCC_PALLAS_KNN=1 COOCC_S2D_STEM=1 \
   python bench.py > /tmp/bench_candidates.json 2>> $LOG
 echo "=== bench candidates done $(date)" >> $LOG
 cat /tmp/bench_candidates.json >> $LOG
