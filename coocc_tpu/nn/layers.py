@@ -15,6 +15,8 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.conv_acc import conv2d_f32acc
+
 
 def _pad_tuple(padding, rank):
     if isinstance(padding, int):
@@ -80,11 +82,8 @@ def _zslice_tap_conv(xc, w, pads, stride, groups):
         start = zi0 + sz * lo
         xs = jax.lax.slice_in_dim(xc, start, start + sz * (n - 1) + 1, sz,
                                   axis=1)
-        y = jax.lax.conv_general_dilated(
-            xs.reshape(B * n, X, Y, C), w[:, :, dz], (sx, sy),
-            [pads[0], pads[1]], feature_group_count=groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+        y = conv2d_f32acc(xs.reshape(B * n, X, Y, C), w[:, :, dz],
+                          (sx, sy), (pads[0], pads[1]), groups)
         y = y.reshape(B, n, Xo, Yo, Co)
         full = lo == 0 and hi == Zout - 1
         if out is None:
@@ -174,11 +173,8 @@ class Conv3d(nn.Module):
         if kz == 1:
             xt = xc[:, ::sz] if sz > 1 else xc
             xt = xt[:, :Zout].reshape(B * Zout, X, Y, C)
-            out = jax.lax.conv_general_dilated(
-                xt, w[:, :, 0], (sx, sy), [pads[0], pads[1]],
-                feature_group_count=self.groups,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+            out = conv2d_f32acc(xt, w[:, :, 0], (sx, sy),
+                                (pads[0], pads[1]), self.groups)
             out = out.reshape(B, Zout, out.shape[1], out.shape[2], -1)
         elif os.environ.get("COOCC_ZPAD_STACK"):
             out = self._zpad_stack(xc, w, pads)
@@ -206,11 +202,8 @@ class Conv3d(nn.Module):
         xt = xt.reshape(B * Zpad, X, Y, C)
         out = None
         for dz in range(kz):
-            y = jax.lax.conv_general_dilated(
-                xt, w[:, :, dz], (sx, sy), [pads[0], pads[1]],
-                feature_group_count=self.groups,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+            y = conv2d_f32acc(xt, w[:, :, dz], (sx, sy),
+                              (pads[0], pads[1]), self.groups)
             Xo, Yo, Co = y.shape[1], y.shape[2], y.shape[3]
             y = y.reshape(B, Zpad, Xo, Yo, Co)
             y = jax.lax.slice_in_dim(y, dz, dz + (Zout - 1) * sz + 1, sz,

@@ -37,12 +37,10 @@ def _dense_conv3d(x, weight, stride=(1, 1, 1), padding=(1, 1, 1), k=3):
     """x: [B, X, Y, Z, Cin]; weight: [K^3, Cin, Cout] (kx-major taps)."""
     k3, Cin, Cout = weight.shape
     w = weight.reshape(k, k, k, Cin, Cout).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, w, window_strides=stride,
-        padding=[(p, p) for p in padding],
-        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    from ..ops.conv_acc import conv_f32acc
+    return conv_f32acc(
+        x, w, tuple(stride), tuple((p, p) for p in padding), 1,
+        ("NXYZC", "XYZIO", "NXYZC")).astype(x.dtype)
 
 
 def _dilate_mask(mask, kernel=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)):

@@ -144,10 +144,9 @@ def _dilate_weight(z_in: int, dtype) -> jnp.ndarray:
 
 
 def _conv2d(x, w, stride=1):
-    return jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (stride, stride), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    from ..ops.conv_acc import conv2d_f32acc
+    return conv2d_f32acc(x, w.astype(x.dtype), (stride, stride),
+                         ((1, 1), (1, 1)))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Training-step wall clock for the flagship config (one chip).
+
+Complements bench.py (inference fps) and tools/bench_render.py (rays/s)
+with the training axis from BASELINE.md's cost table (reference: 24
+epochs at batch 1/GPU on 8x A40, docs/train_and_eval.md:3-9). Prints one
+JSON line {"metric": "train_step_ms", ...}.
+
+Run MANUALLY after the main relay session: a flagship backward pass is
+the largest graph we compile, and an OOM through the axon relay can
+wedge it for other clients. Start with --config tiny to probe.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="coocc_multi_r50_256x704")
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coocc_tpu.config import get_config
+    from coocc_tpu.data.synthetic import synthetic_batch
+    from coocc_tpu.models.coocc_ray import CoOccRay
+    from coocc_tpu.parallel.train_step import make_train_step
+    from coocc_tpu.train.state import create_train_state
+    from coocc_tpu.utils.init_utils import jit_init
+
+    if args.config == "tiny":
+        from coocc_tpu.data.synthetic import tiny_config
+        cfg = tiny_config()
+    else:
+        cfg = get_config(args.config)
+    model = CoOccRay(cfg=cfg, dtype=jnp.bfloat16)
+    batch = synthetic_batch(cfg, batch_size=1)
+    rng = jax.random.PRNGKey(0)
+    variables = jit_init(model, {"params": rng, "dropout": rng}, batch,
+                         train=True, fine_rng=rng)
+    state = create_train_state(model, variables, cfg.optim,
+                               steps_per_epoch=1000)
+    step = make_train_step(model, cfg)
+
+    def readback(metrics):
+        return float(metrics["loss_total"])
+
+    @jax.jit
+    def trivial(x):
+        return (x * 2.0).sum()
+
+    float(trivial(jnp.ones((8, 128))))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.ones((8, 128))))
+        ts.append(time.perf_counter() - t0)
+    t_rt = float(np.median(ts))
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, rng)
+    _ = readback(metrics)
+    compile_s = time.perf_counter() - t0
+
+    tt = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, rng)
+        _ = readback(metrics)
+        tt.append(time.perf_counter() - t0)
+    ms = (float(np.median(tt)) - t_rt) * 1e3
+    print(json.dumps({
+        "metric": "train_step_ms", "value": round(ms, 2), "unit": "ms",
+        "config": args.config, "compile_s": round(compile_s, 1),
+        "loss": float(metrics["loss_total"]),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
