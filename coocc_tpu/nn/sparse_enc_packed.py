@@ -608,7 +608,14 @@ class PackedLiDAREnc8x(nn.Module):
         p1 = _pick_pack(C1, Z1)
         bz1 = Z1 // p1
         p_in = Z0 // bz1
-        lane_major = bool(os.environ.get("COOCC_LANE_MAJOR_STRIDED")) \
+        # On-chip A/B (perf session 13): the lane-major unrolled stride-2
+        # weights beat the packed form despite ~6x more raw MACs — the
+        # structural zeros cost nothing once the MXU tiles the wide lane
+        # dim, while the packed form's narrow lanes underfill it
+        # (stem 8.2 vs 22.3 ms, full encoder 50.8 vs 58.6 ms on v5e).
+        # Lane-major is therefore the default; COOCC_PACKED_STRIDED=1
+        # opts back into the packed form (useful off-TPU where FLOPs win).
+        lane_major = not bool(os.environ.get("COOCC_PACKED_STRIDED")) \
             or p_in != 2 * p1
         if lane_major:
             # legacy form: ONE stride-2 conv2d with the z taps unrolled

@@ -131,8 +131,9 @@ def test_packed_strided_matches_lane_major(rng, monkeypatch):
         jax.random.normal(k, x.shape, jnp.float32) * 0.3
         for k, x in zip(keys, leaves)])}
 
+    monkeypatch.setenv("COOCC_PACKED_STRIDED", "1")
     got = np.asarray(enc.apply(v, mask, train=False))
-    monkeypatch.setenv("COOCC_LANE_MAJOR_STRIDED", "1")
+    monkeypatch.delenv("COOCC_PACKED_STRIDED")
     ref = np.asarray(enc.apply(v, mask, train=False))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
     assert np.abs(got).max() > 0

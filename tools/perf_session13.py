@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Serialized TPU perf session 13: packed-strided vs lane-major stem/downs.
 
-A/Bs the stride-2-z form of the packed encoder (COOCC_LANE_MAJOR_STRIDED
-kill switch) at flagship shapes; the packed form computes ~6x fewer MACs
-on the stem + downsamples (see nn/sparse_enc_packed._strided_packed_weight).
+A/Bs the stride-2-z form of the packed encoder at flagship shapes.
+COOCC_PACKED_STRIDED=1 selects the packed form (~6x fewer raw MACs, see
+nn/sparse_enc_packed._strided_packed_weight); default is lane-major, the
+measured winner on v5e (session 13: stem 8.2 vs 22.3 ms).
 """
 from __future__ import annotations
 
@@ -45,22 +46,22 @@ def main():
 
     for flag in ("", "1"):
         if flag:
-            os.environ["COOCC_LANE_MAJOR_STRIDED"] = flag
+            os.environ["COOCC_PACKED_STRIDED"] = flag
         else:
-            os.environ.pop("COOCC_LANE_MAJOR_STRIDED", None)
+            os.environ.pop("COOCC_PACKED_STRIDED", None)
 
         @jax.jit
         def run(v, m):
             return enc.apply(v, m, train=False)
 
-        timed(f"encoder LANE_MAJOR='{flag}'", run, vs, mask0)
+        timed(f"encoder PACKED='{flag}'", run, vs, mask0)
 
     # stem-only comparison (the collapsed level-0 conv)
     for flag in ("", "1"):
         if flag:
-            os.environ["COOCC_LANE_MAJOR_STRIDED"] = flag
+            os.environ["COOCC_PACKED_STRIDED"] = flag
         else:
-            os.environ.pop("COOCC_LANE_MAJOR_STRIDED", None)
+            os.environ.pop("COOCC_PACKED_STRIDED", None)
         encs = PackedLiDAREnc8x(
             input_channel=pts_cfg.input_channel,
             base_channel=pts_cfg.base_channel,
@@ -73,7 +74,7 @@ def main():
         def runs(v, m, e=encs):
             return e.apply(v, m, train=False)
 
-        timed(f"stem LANE_MAJOR='{flag}'", runs, vs, mask0)
+        timed(f"stem PACKED='{flag}'", runs, vs, mask0)
 
     print("[perf session 13 done]", flush=True)
 
