@@ -42,7 +42,11 @@ def tiny_config(use_camera=True, use_lidar=True, num_classes=17,
         data=DataConfig(input_size=(64, 192),
                         cams=("CAM_A", "CAM_B")),
         grid=grid,
-        img_backbone=ImageBackboneConfig(depth=50) if use_camera else None,
+        # depth=10 (1-block stages): same 4-stage structure as the flagship
+        # R50 at ~1/8 the graph — the 8-device dryrun's compile budget is the
+        # binding constraint (driver window), structure coverage is not lost
+        # (entry() compile-checks the real R50)
+        img_backbone=ImageBackboneConfig(depth=10) if use_camera else None,
         img_neck=ImageNeckConfig() if use_camera else None,
         lss=LSSConfig(downsample=16) if use_camera else None,
         pts=PtsBranchConfig(

@@ -192,15 +192,24 @@ class CoOccRay(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False,
-                 fine_rng: Optional[jax.Array] = None):
+                 fine_rng: Optional[jax.Array] = None,
+                 stop_at: Optional[str] = None):
+        """stop_at: profiling hook — truncate the forward after a stage
+        ('img' | 'pts' | 'fuse' | 'sem') and return that stage's outputs.
+        Marginal prefix timings account for every inter-stage boundary cost
+        the isolated-stage profiler misses (tools/profile_prefix.py)."""
         cfg = self.cfg
         img_voxel, depth_prob, img_feats, geom = (None, None, None, None)
         if cfg.use_camera and batch.imgs is not None:
             img_voxel, depth_prob, img_feats, geom = self._image_voxels(
                 batch, train)
+        if stop_at == "img":
+            return {"img_voxel": img_voxel}
         pts_voxel = None
         if cfg.use_lidar and batch.points is not None:
             pts_voxel = self._pts_voxels(batch, train)
+        if stop_at == "pts":
+            return {"img_voxel": img_voxel, "pts_voxel": pts_voxel}
 
         if cfg.fuser is not None and img_voxel is not None \
                 and pts_voxel is not None:
@@ -212,6 +221,8 @@ class CoOccRay(nn.Module):
             )(img_voxel, pts_voxel, train=train)
         else:
             voxel_feats = img_voxel if pts_voxel is None else pts_voxel
+        if stop_at == "fuse":
+            return {"voxel_feats": voxel_feats}
 
         # the semantic stack runs z-batch-resident end-to-end (one boundary
         # transpose instead of two per conv3d; identical params/math)
@@ -228,6 +239,9 @@ class CoOccRay(nn.Module):
             with_cp=cfg.semantic.neck_with_cp and train,
             dtype=self.dtype, name="semantic_neck",
         )(mid, train=train, zb=True)
+
+        if stop_at == "sem":
+            return {"semantic": list(semantic)}
 
         transform = None
         if batch.rots is not None:

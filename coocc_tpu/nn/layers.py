@@ -24,6 +24,32 @@ def _pad_tuple(padding, rank):
     return [(p, p) if isinstance(p, int) else tuple(p) for p in padding]
 
 
+# --- SyncBN context ---------------------------------------------------------
+# Inside a shard_map'd train step each device sees a batch shard; setting
+# this context while TRACING makes every BatchNorm psum its batch statistics
+# over the named mesh axis — the TPU-native SyncBN (reference converts
+# BN->SyncBN at tools/train.py:222-223). Trace-time only: the value is baked
+# into the jitted program, so the context manager must wrap the trace
+# (shard_map body), not the execution.
+_BN_SYNC_AXIS = [None]
+
+
+class bn_sync_axis:
+    """Context manager: BatchNorms traced inside sync stats over axis_name."""
+
+    def __init__(self, axis_name: Optional[str]):
+        self.axis_name = axis_name
+
+    def __enter__(self):
+        self.prev = _BN_SYNC_AXIS[0]
+        _BN_SYNC_AXIS[0] = self.axis_name
+        return self
+
+    def __exit__(self, *exc):
+        _BN_SYNC_AXIS[0] = self.prev
+        return False
+
+
 class Conv2d(nn.Module):
     """torch-style Conv2d on [..., H, W, C]."""
     features: int
@@ -274,11 +300,13 @@ class BatchNorm(nn.Module):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
+        axis = self.axis_name if self.axis_name is not None \
+            else _BN_SYNC_AXIS[0]
         return nn.BatchNorm(
             use_running_average=ura,
             momentum=1.0 - self.momentum,
             epsilon=self.eps,
-            axis_name=self.axis_name,
+            axis_name=None if ura else axis,
             dtype=self.dtype,
             name="bn",
         )(x)
@@ -314,12 +342,14 @@ class MaskedBatchNorm(nn.Module):
         else:
             m = mask.astype(x.dtype)[:, None]
             n = jnp.maximum(m.sum(), 1.0)
-            if self.axis_name is not None:
+            axis = self.axis_name if self.axis_name is not None \
+                else _BN_SYNC_AXIS[0]
+            if axis is not None:
                 import jax
-                n = jax.lax.psum(n, self.axis_name)
-                mean = jax.lax.psum((x * m).sum(0), self.axis_name) / n
+                n = jax.lax.psum(n, axis)
+                mean = jax.lax.psum((x * m).sum(0), axis) / n
                 var = jax.lax.psum(((x - mean) ** 2 * m).sum(0),
-                                   self.axis_name) / n
+                                   axis) / n
             else:
                 mean = (x * m).sum(0) / n
                 var = ((x - mean) ** 2 * m).sum(0) / n

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .layers import BatchNorm, Conv2d, max_pool_2d
 
-RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+RESNET_LAYERS = {10: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
                  50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 

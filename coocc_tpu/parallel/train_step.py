@@ -47,10 +47,51 @@ def make_train_step(model, cfg: CoOccConfig, mesh=None):
         return state, metrics
 
     if mesh is not None:
+        # shard_map the grad computation over the data axis: the per-device
+        # program is batch-size B/n_devices (=1 at reference batching) no
+        # matter the mesh size — compile time and HLO size stay CONSTANT as
+        # devices scale, unlike GSPMD batch-sharding of a B-unrolled model.
+        # Gradients are pmean'd explicitly (the NCCL allreduce equivalent);
+        # BatchNorms traced under bn_sync_axis psum their batch statistics
+        # (TPU-native SyncBN, reference tools/train.py:222-223).
+        from ..nn.layers import bn_sync_axis
+
+        axis = mesh.axis_names[0]
+
+        def per_device_grads(params, batch_stats, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            with bn_sync_axis(axis):
+                (total, (losses, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch_stats, batch, rng)
+            grads = jax.lax.pmean(grads, axis)
+            total = jax.lax.pmean(total, axis)
+            losses = jax.lax.pmean(losses, axis)
+            if new_bs is not None:
+                # already identical across devices when every norm synced;
+                # pmean guards any stat that wasn't traced under the context
+                new_bs = jax.lax.pmean(new_bs, axis)
+            return total, losses, new_bs, grads
+
+        sharded_grads = jax.shard_map(
+            per_device_grads, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        def train_step_sm(state, batch, rng):
+            total, losses, new_bs, grads = sharded_grads(
+                state.params, state.batch_stats, batch, rng)
+            state = state.apply_gradients(grads=grads)
+            if new_bs is not None:
+                state = state.replace(batch_stats=new_bs)
+            metrics = {"loss_total": total, **losses}
+            return state, metrics
+
         repl = NamedSharding(mesh, P())
         return jax.jit(
-            train_step,
-            in_shardings=(repl, NamedSharding(mesh, P("data")), repl),
+            train_step_sm,
+            in_shardings=(repl, NamedSharding(mesh, P(axis)), repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )

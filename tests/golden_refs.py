@@ -442,3 +442,248 @@ class TorchNeRFMLP(nn.Module):
         for layer in self.hidden_layers:
             x = F.relu(layer(x))
         return self.output_layer(x)
+
+
+# --- round-3 additions: splat / voxelize / sparse-enc / renderer oracles ----
+
+
+def quickcumsum_splat(volume, geom, dx, bx, nx):
+    """Reference pure-torch LSS splat (cumsum trick), Z KEPT.
+
+    Transcribes ViewTransformerLSSBEVDepth.voxel_pooling:197-240 (rank sort +
+    QuickCumsum boundary-diff) with the voxel-keeping scatter of the
+    LSSVoxel variant (ViewTransformerLSSVoxel.py:100-123): sums the lifted
+    [B, N, D, fH, fW, C] volume into a dense [B, X, Y, Z, C] grid.
+
+    volume: [B, N, D, fH, fW, C]; geom: [B, N, D, fH, fW, 3] ego points.
+    dx/bx/nx: torch tensors, grid spec (nx int64 [3]).
+    """
+    B, N, D, H, W, C = volume.shape
+    Nprime = B * N * D * H * W
+    x = volume.reshape(Nprime, C)
+    gf = ((geom - (bx - dx / 2.0)) / dx).long().view(Nprime, 3)
+    batch_ix = torch.cat([
+        torch.full((Nprime // B, 1), ix, dtype=torch.long)
+        for ix in range(B)])
+    gf = torch.cat((gf, batch_ix), 1)
+    kept = ((gf[:, 0] >= 0) & (gf[:, 0] < nx[0])
+            & (gf[:, 1] >= 0) & (gf[:, 1] < nx[1])
+            & (gf[:, 2] >= 0) & (gf[:, 2] < nx[2]))
+    x, gf = x[kept], gf[kept]
+    ranks = (gf[:, 0] * (nx[1] * nx[2] * B)
+             + gf[:, 1] * (nx[2] * B) + gf[:, 2] * B + gf[:, 3])
+    sorts = ranks.argsort()
+    x, gf, ranks = x[sorts], gf[sorts], ranks[sorts]
+    # cumsum trick (QuickCumsum.forward, ViewTransformerLSSBEVDepth.py:36-52)
+    x = x.cumsum(0)
+    keep = torch.ones(x.shape[0], dtype=torch.bool)
+    keep[:-1] = ranks[1:] != ranks[:-1]
+    x, gf = x[keep], gf[keep]
+    x = torch.cat((x[:1], x[1:] - x[:-1]))
+    final = torch.zeros((B, int(nx[0]), int(nx[1]), int(nx[2]), C))
+    final[gf[:, 3], gf[:, 0], gf[:, 1], gf[:, 2]] = x
+    return final
+
+
+def hard_voxelize_vfe(points, pcr, voxel_size, grid, max_points, max_voxels,
+                      num_features=None):
+    """Point-order hard voxelization + HardSimpleVFE mean (numpy oracle).
+
+    Replicates the CUDA kernel semantics (mmdetection3d/mmdet3d/ops/voxel/
+    src/voxelization_cuda.cu via voxelize.py:10-148): voxels are created in
+    first-point-arrival order, capped at max_voxels; each voxel keeps its
+    first max_points points; HardSimpleVFE (voxel_encoder.py:13-45) means
+    the kept points. Returns (coords [V,3] xyz int, feats [V,F]).
+    """
+    import numpy as np
+    F_dim = points.shape[1] if num_features is None else num_features
+    nx, ny, nz = grid
+    voxels = {}
+    order = []
+    for p in points:
+        c = np.floor((p[:3] - np.asarray(pcr[:3])) / np.asarray(voxel_size))
+        c = c.astype(np.int64)
+        if not ((0 <= c[0] < nx) and (0 <= c[1] < ny) and (0 <= c[2] < nz)):
+            continue
+        key = (int(c[0]), int(c[1]), int(c[2]))
+        if key not in voxels:
+            if len(voxels) >= max_voxels:
+                continue
+            voxels[key] = []
+            order.append(key)
+        if len(voxels[key]) < max_points:
+            voxels[key].append(p[:F_dim])
+    coords = np.array(order, np.int64).reshape(-1, 3)
+    feats = np.stack([np.mean(np.stack(voxels[k]), 0) for k in order]) \
+        if order else np.zeros((0, F_dim), np.float32)
+    return coords, feats.astype(np.float32)
+
+
+class SpConvDense(nn.Module):
+    """Dense-grid emulation of spconv SubMConv3d / SparseConv3d.
+
+    Weight registered in the spconv2 checkpoint layout [O, kz, ky, kx, I]
+    (sparse_lidar_enc.py uses `import spconv.pytorch`); forward runs a dense
+    F.conv3d over [B, C, X, Y, Z] with the active-site mask semantics:
+      SubM (stride 1):  output active sites == input active sites
+      spconv (stride 2): output site active iff any active input in its
+                         receptive field (maxpooled mask)
+    Exact because inactive dense cells hold zeros — the gather a real SubM
+    performs sees the same neighbour values.
+    """
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.stride = stride
+        self.weight = nn.Parameter(torch.randn(cout, 3, 3, 3, cin) * 0.05)
+
+    def forward(self, x, mask):
+        w = self.weight.permute(0, 4, 3, 2, 1)  # -> [O, I, kx, ky, kz]
+        if self.stride == 1:
+            return F.conv3d(x, w, padding=1) * mask, mask
+        y = F.conv3d(x, w, stride=2, padding=1)
+        newmask = (F.max_pool3d(mask, 3, 2, 1) > 0).float()
+        return y * newmask, newmask
+
+
+def _bn_masked(bn, x, mask):
+    """Eval-mode BatchNorm1d over active rows, applied densely + masked."""
+    y = F.batch_norm(x, bn.running_mean, bn.running_var, bn.weight, bn.bias,
+                     False, 0.0, bn.eps)
+    return y * mask
+
+
+def _gn_per_voxel(gn, x, mask):
+    """torch GroupNorm over the [N_active, C] feature rows == per-voxel GN."""
+    B, C = x.shape[:2]
+    rows = x.permute(0, 2, 3, 4, 1).reshape(-1, C)
+    rows = F.group_norm(rows, gn.num_groups, gn.weight, gn.bias, gn.eps)
+    y = rows.reshape(B, *x.shape[2:], C).permute(0, 4, 1, 2, 3)
+    return y * mask
+
+
+class SparseBasicBlockDense(nn.Module):
+    """SparseBasicBlock (sparse_lidar_enc.py:41-63) on the dense emulation.
+
+    net = (SubM, BN1d, ReLU, SubM, BN1d); residual add; ReLU.
+    """
+
+    def __init__(self, c):
+        super().__init__()
+        self.net = nn.ModuleList([
+            SpConvDense(c, c), nn.BatchNorm1d(c), nn.ReLU(True),
+            SpConvDense(c, c), nn.BatchNorm1d(c)])
+
+    def forward(self, x, mask):
+        idn = x
+        y, _ = self.net[0](x, mask)
+        y = F.relu(_bn_masked(self.net[1], y, mask))
+        y, _ = self.net[3](y, mask)
+        y = _bn_masked(self.net[4], y, mask)
+        return F.relu(y + idn) * mask, mask
+
+
+class PostActBlockDense(nn.Module):
+    """post_act_block conv_type='spconv' (stride-2 + BN1d + ReLU)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        # ModuleList indices 0/1 match SparseSequential(conv, norm, relu)
+        self.body = nn.ModuleList([SpConvDense(cin, cout, stride=2),
+                                   nn.BatchNorm1d(cout), nn.ReLU(True)])
+
+    def forward(self, x, mask):
+        y, m = self.body[0](x, mask)
+        return F.relu(_bn_masked(self.body[1], y, m)) * m, m
+
+
+class TorchSparseLiDAREnc8x(nn.Module):
+    """Dense-emulated SparseLiDAREnc8x with the reference state_dict names
+    (sparse_lidar_enc.py:125-178): conv_input (SubM+GN16), conv1..3
+    (stride-2 block + 2 SparseBasicBlocks), conv_out (SubM+GN16).
+    Output: dense [B, C, X/8, Y/8, Z/8] (after the reference's
+    .dense().permute(0,1,4,3,2) — xyz order).
+    """
+
+    def __init__(self, cin=4, base=16, cout=128):
+        super().__init__()
+        self.conv_input = nn.ModuleList([
+            SpConvDense(cin, base), nn.GroupNorm(16, base), nn.ReLU(True)])
+        for lvl, (ci, co) in enumerate(
+                [(base, base * 2), (base * 2, base * 4), (base * 4, base * 8)],
+                start=1):
+            blocks = nn.ModuleList([
+                PostActBlockDense(ci, co),
+                SparseBasicBlockDense(co), SparseBasicBlockDense(co)])
+            setattr(self, f"conv{lvl}", blocks)
+        self.conv_out = nn.ModuleList([
+            SpConvDense(base * 8, cout), nn.GroupNorm(16, cout),
+            nn.ReLU(True)])
+
+    def state_dict(self, *a, **kw):
+        # remap ModuleList child "body" of PostActBlockDense to the
+        # reference's SparseSequential flat index (convN.0.0 / convN.0.1)
+        sd = super().state_dict(*a, **kw)
+        return {k.replace(".body.", "."): v for k, v in sd.items()}
+
+    def forward(self, x, mask):
+        y, m = self.conv_input[0](x, mask)
+        y = F.relu(_gn_per_voxel(self.conv_input[1], y, m)) * m
+        for lvl in (1, 2, 3):
+            blocks = getattr(self, f"conv{lvl}")
+            y, m = blocks[0](y, m)
+            y, m = blocks[1](y, m)
+            y, m = blocks[2](y, m)
+        y, m = self.conv_out[0](y, m)
+        y = F.relu(_gn_per_voxel(self.conv_out[1], y, m)) * m
+        return y, m
+
+
+def torch_frustum_render(voxel_feats, geom, rgb_head, sigma_head,
+                         bounds, scale=16):
+    """Transcription of the reference inline renderer (coocc_ray.py:358-433).
+
+    voxel_feats: [C, X, Y, Z]; geom: [N, D, H, W, 3] ego points.
+    bounds: (xbound, ybound, zbound) three (lo, hi, step).
+    Returns (rgbs [N, H*scale, W*scale, 3], depths [N, H*scale, W*scale]).
+    """
+    N = geom.shape[0]
+    dx = torch.tensor([row[2] for row in bounds])
+    bx = torch.tensor([row[0] + row[2] / 2.0 for row in bounds])
+    nx = torch.tensor([(row[1] - row[0]) / row[2] for row in bounds])
+    rgbs, depths = [], []
+    for i in range(N):
+        g = ((geom[i] - (bx - dx / 2.0)) / dx)
+        inside = ((g[..., 0] >= 0) & (g[..., 0] < nx[0])
+                  & (g[..., 1] >= 0) & (g[..., 1] < nx[1])
+                  & (g[..., 2] >= 0) & (g[..., 2] < nx[2]))
+        g = g.clone()
+        g[~inside] *= 0
+        D, H, W, _ = g.shape
+        pts = g.long().permute(1, 2, 0, 3)  # [H, W, D, 3]
+        feat = voxel_feats[:, pts[..., 0], pts[..., 1], pts[..., 2]]
+        feat = feat.permute(1, 2, 3, 0)  # [H, W, D, C]
+        mask = inside.permute(1, 2, 0)
+        rgb = rgb_head(feat)
+        rgb[~mask] = 0  # reference quirk: zeroed BEFORE sigmoid
+        rgb = torch.sigmoid(rgb)
+        sigma = F.relu(sigma_head(feat).squeeze(-1))
+        ptsf = pts.float()
+        dists = torch.norm(ptsf[:, :, 1:, :] - ptsf[:, :, :-1, :], dim=-1)
+        dists = torch.cat(
+            [dists, torch.tensor([1e10]).expand(dists[..., :1].shape)], -1)
+        alpha = 1.0 - torch.exp(-F.relu(sigma * dists))
+        weights = alpha * torch.cumprod(
+            torch.cat([torch.ones(H, W, 1), 1.0 - alpha + 1e-10], -1),
+            dim=-1)[:, :, :-1]
+        rgb_map = torch.sum(weights.unsqueeze(-1) * rgb, dim=-2)
+        z_vals = torch.linspace(0, D, D).reshape(1, 1, D)
+        depth_map = torch.sum(weights * z_vals, dim=-1)
+        depth_map = F.interpolate(depth_map[None, None], scale_factor=scale,
+                                  mode="bilinear")[0, 0]
+        rgb_map = F.interpolate(rgb_map.permute(2, 0, 1)[None],
+                                scale_factor=scale,
+                                mode="bilinear")[0].permute(1, 2, 0)
+        rgbs.append(rgb_map)
+        depths.append(depth_map)
+    return torch.stack(rgbs), torch.stack(depths)

@@ -92,7 +92,12 @@ class TorchFineCascade(nn.Module):
 
 
 def test_full_model_name_map(rng):
+    import dataclasses
     cfg = tiny_config(use_camera=True, use_lidar=True)
+    # the torch replica side is a real ResNet-50; tiny_config defaults to
+    # the compile-cheap depth-10 variant, so pin 50 here
+    cfg = dataclasses.replace(
+        cfg, img_backbone=dataclasses.replace(cfg.img_backbone, depth=50))
     model = CoOccRay(cfg=cfg)
     batch = jax.tree.map(np.asarray, synthetic_batch(cfg, 1))
     variables = model.init(
