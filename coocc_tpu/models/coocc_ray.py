@@ -250,7 +250,10 @@ class CoOccRay(nn.Module):
         head_out = OccHead(cfg=cfg.occ_head, dtype=self.dtype,
                            name="pts_bbox_head")(
             list(semantic), img_feats=img_feats, transform=transform,
-            train=train, fine_rng=fine_rng, zb=True)
+            train=train, fine_rng=fine_rng, zb=True,
+            coarse_only=(stop_at == "coarse"))
+        if stop_at == "coarse":
+            return dict(head_out)
 
         outs = dict(head_out)
         if train:

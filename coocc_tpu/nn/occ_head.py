@@ -214,7 +214,7 @@ class OccHead(nn.Module):
     @nn.compact
     def __call__(self, voxel_feats, img_feats=None, transform=None,
                  train: bool = False, fine_rng: Optional[jax.Array] = None,
-                 zb: bool = False):
+                 zb: bool = False, coarse_only: bool = False):
         """voxel_feats: list of [B, X, Y, Z, C] (or z-batch [B, Z, X, Y, C]
         when zb=True); img_feats: [B, N, fH, fW, C2].
 
@@ -229,8 +229,8 @@ class OccHead(nn.Module):
             blended = jnp.transpose(blended, (0, 2, 3, 1, 4))
             logits = jnp.transpose(logits, (0, 2, 3, 1, 4))
         out = {"occ": logits}
-        if cfg.cascade_ratio == 1 or not (cfg.sample_from_voxel
-                                          or cfg.sample_from_img):
+        if coarse_only or cfg.cascade_ratio == 1 or not (
+                cfg.sample_from_voxel or cfg.sample_from_img):
             return out
 
         B = logits.shape[0]

@@ -609,14 +609,21 @@ class PackedLiDAREnc8x(nn.Module):
         bz1 = Z1 // p1
         p_in = Z0 // bz1
         # On-chip A/B (perf session 13): the lane-major unrolled stride-2
-        # weights beat the packed form despite ~6x more raw MACs — the
+        # STEM beats the packed form despite ~6x more raw MACs — the
         # structural zeros cost nothing once the MXU tiles the wide lane
         # dim, while the packed form's narrow lanes underfill it
-        # (stem 8.2 vs 22.3 ms, full encoder 50.8 vs 58.6 ms on v5e).
-        # Lane-major is therefore the default; COOCC_PACKED_STRIDED=1
-        # opts back into the packed form (useful off-TPU where FLOPs win).
-        lane_major = not bool(os.environ.get("COOCC_PACKED_STRIDED")) \
-            or p_in != 2 * p1
+        # (stem 8.2 vs 22.3 ms on v5e). The down2/down3 strided convs are
+        # the opposite (round-3 A/B): their packed weights keep full
+        # 128-lane outputs at 4-5x fewer MACs (down2 lane-major
+        # [3,3,1024,1024] = 755 GMAC vs packed [3,3,192,128] = 142 GMAC),
+        # so the default is HYBRID: lane-major stem, packed downsamples.
+        # COOCC_STRIDED_MODE=lm|packed|hybrid overrides (lm matches the
+        # round-2 default; packed is fastest off-TPU where FLOPs win).
+        mode = os.environ.get("COOCC_STRIDED_MODE", "hybrid")
+        if os.environ.get("COOCC_PACKED_STRIDED"):  # legacy knob
+            mode = "packed"
+        lane_major = mode != "packed" or p_in != 2 * p1
+        down_lane_major = mode == "lm"
         if lane_major:
             # legacy form: ONE stride-2 conv2d with the z taps unrolled
             # into [3, 3, Z0, Z1*C1] lanes (>90% structural zeros)
@@ -662,7 +669,7 @@ class PackedLiDAREnc8x(nn.Module):
             down = _StridedParamsTwin(C, C_out, name=f"down{lvl}")
             wdn = down("weight")
             p_out = _pick_pack(C_out, Z // 2)
-            if lane_major or p != 2 * p_out:
+            if down_lane_major or p != 2 * p_out:
                 d_lm = _pb_to_lm(d, C)
                 d_lm = _conv2d(d_lm, _strided_weight(wdn, Z), 2).astype(cd)
                 cnt = _conv2d(mask_lm.astype(cd), _dilate_weight(Z, cd), 2)

@@ -8,17 +8,22 @@ pack rows). Building that 192-lane extended tensor in XLA costs a ~3.7 ms /
 (1.8 ms at MXU peak for the 128 core lanes).
 
 This kernel keeps the concat out of HBM: the host side only prepares a thin
-64-lane carry array (pack-shifted slices, boundary-zeroed); the kernel DMAs
-the core slab + carry slab per (pack, x-tile, y-tile), assembles the im2col
-matrix in VMEM ([9*pC core | 9*2C carry | pad] column layout, K padded to a
-lane-tile multiple), and runs one [tx*ty, K] @ [K, pCo] MXU dot. DMAs are
-double-buffered across the sequential TPU grid. Numerics match the XLA path
-exactly: bf16 operands, fp32 accumulation, bf16 output.
+carry array (pack-shifted slices, boundary-zeroed, lane-padded to a 128
+multiple); the kernel DMAs the core slab + carry slab per (pack, x-tile,
+y-tile), assembles the im2col matrix in VMEM ([9*pC core | 9*Cc carry]
+column layout, every group 128-lane aligned), and runs one
+[tx*ty, K] @ [K, pCo] MXU dot. DMAs are double-buffered across the
+sequential TPU grid. Numerics match the XLA path exactly: bf16 operands,
+fp32 accumulation, bf16 output.
 
-Mosaic constraints honored (learned the hard way): no shape casts with
-sub-lane-tile minors (im2col is built 3-D and merged only with a 128-aligned
-minor), DMA slices aligned to the (8, 128) HBM tiling on the sublane dim
-(y-tiles are multiples of 8; lane dims are never sliced).
+Mosaic constraints honored (learned the hard way): EVERY lane-dim slice —
+HBM DMA source, VMEM scratch window, im2col column write — must be a
+multiple of 128 lanes at a multiple-of-128 offset. The 2C=64-lane carry
+group therefore rides in a 128-lane padded slab (zero weight rows eat the
+pad), and y-tile starts stay multiples of 8 for the (8, 128) sublane
+tiling. The padding costs K = 9*(pC+128) = 2304 vs the true 1728 at C=32;
+the XLA conv pays the same tile-rounding on its 192-lane input, so the
+kernel's win is the avoided HBM concat, not MACs.
 """
 from __future__ import annotations
 
@@ -46,7 +51,7 @@ def _pick_tiles(X: int, Y: int, ext: int) -> tuple:
 
 
 def _kernel(x_hbm, car_hbm, w_ref, out_ref, core, carry, im2col, sems,
-            *, nx, ny, tx, ty, pC, C2):
+            *, nx, ny, tx, ty, pC, Cc):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -90,11 +95,8 @@ def _kernel(x_hbm, car_hbm, w_ref, out_ref, core, carry, im2col, sems,
             k = dx * 3 + dy
             im2col[:, :, k * pC:(k + 1) * pC] = \
                 core[slot, dx:dx + tx, dy:dy + ty, :]
-            im2col[:, :, base2 + k * C2:base2 + (k + 1) * C2] = \
+            im2col[:, :, base2 + k * Cc:base2 + (k + 1) * Cc] = \
                 carry[slot, dx:dx + tx, dy:dy + ty, :]
-    if kpad > base2 + 9 * C2:
-        im2col[:, :, base2 + 9 * C2:] = jnp.zeros(
-            (tx, ty, kpad - base2 - 9 * C2), im2col.dtype)
 
     acc = jnp.dot(im2col[:].reshape(tx * ty, kpad), w_ref[:],
                   preferred_element_type=jnp.float32)
@@ -106,18 +108,21 @@ def subm_ext_conv(x_pb: jnp.ndarray, w_ext: jnp.ndarray, *, bz: int,
                   C: int, interpret: bool = False) -> jnp.ndarray:
     """Fused SubM ext conv: [B, bz, X, Y, pC] -> [B, bz, X, Y, pCo].
 
-    x_pb:  packed activations, pC = p*C core lanes.
+    x_pb:  packed activations, pC = p*C core lanes (pC must be a multiple
+           of 128 — true at every encoder level: 4*32, 2*64, 1*128).
     w_ext: [3, 3, pC + 2C, pCo] extended weight (_subm_ext_weight, lane
            order [p*C core | C up-carry | C dn-carry]).
     Equals conv2d(shift_ext(x_pb), w_ext) -> astype(x.dtype), exactly.
     """
     B, bz_, X, Y, pC = x_pb.shape
     assert bz_ == bz
+    assert pC % 128 == 0, pC
     ext = pC + 2 * C
     C2 = 2 * C
+    Cc = -(-C2 // 128) * 128  # carry slab lanes, 128-aligned
     pCo = w_ext.shape[-1]
     assert w_ext.shape == (3, 3, ext, pCo), (w_ext.shape, ext, pCo)
-    tx, ty = _pick_tiles(X, Y, ext)
+    tx, ty = _pick_tiles(X, Y, pC + Cc)
     nx, ny = -(-X // tx), -(-Y // ty)
     G = B * bz
 
@@ -125,8 +130,8 @@ def subm_ext_conv(x_pb: jnp.ndarray, w_ext: jnp.ndarray, *, bz: int,
     xg = x_pb.reshape(G, X, Y, pC).astype(jnp.bfloat16)
     xp = jnp.pad(xg, ((0, 0), (1, nx * tx + 1 - X), (1, ny * ty + 7 - Y),
                       (0, 0)))
-    # carries: thin 64-lane pack-shifted array (boundary packs zeroed);
-    # the kernel never lane-slices, keeping every DMA tile-aligned
+    # carries: thin pack-shifted array (boundary packs zeroed), lanes
+    # [up C | dn C | zero pad to Cc] so every DMA/write is 128-aligned
     up = jnp.pad(x_pb[:, 1:, ..., :C],
                  ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
     dn = jnp.pad(x_pb[:, :-1, ..., pC - C:],
@@ -134,17 +139,19 @@ def subm_ext_conv(x_pb: jnp.ndarray, w_ext: jnp.ndarray, *, bz: int,
     car = jnp.concatenate([up, dn], -1).reshape(G, X, Y, C2)
     car = jnp.pad(car.astype(jnp.bfloat16),
                   ((0, 0), (1, nx * tx + 1 - X), (1, ny * ty + 7 - Y),
-                   (0, 0)))
+                   (0, Cc - C2)))
 
-    # weight rows reordered to the kernel's column layout
-    kpad = -(-9 * ext // 128) * 128
+    # weight rows reordered to the kernel's column layout: 9 core groups
+    # of pC rows, then 9 carry groups of Cc rows (real C2 + zero pad)
+    kpad = 9 * pC + 9 * Cc
     w_core = w_ext[:, :, :pC, :].reshape(9 * pC, pCo)
-    w_car = w_ext[:, :, pC:, :].reshape(9 * C2, pCo)
-    wf = jnp.pad(jnp.concatenate([w_core, w_car], 0).astype(jnp.bfloat16),
-                 ((0, kpad - 9 * ext), (0, 0)))
+    w_car = w_ext[:, :, pC:, :].reshape(3, 3, C2, pCo)
+    w_car = jnp.pad(w_car, ((0, 0), (0, 0), (0, Cc - C2), (0, 0)))
+    wf = jnp.concatenate([w_core, w_car.reshape(9 * Cc, pCo)],
+                         0).astype(jnp.bfloat16)
 
     out = pl.pallas_call(
-        partial(_kernel, nx=nx, ny=ny, tx=tx, ty=ty, pC=pC, C2=C2),
+        partial(_kernel, nx=nx, ny=ny, tx=tx, ty=ty, pC=pC, Cc=Cc),
         grid=(G * nx * ny,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -159,7 +166,7 @@ def subm_ext_conv(x_pb: jnp.ndarray, w_ext: jnp.ndarray, *, bz: int,
                                        x_pb.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tx + 2, ty + 8, pC), jnp.bfloat16),
-            pltpu.VMEM((2, tx + 2, ty + 8, C2), jnp.bfloat16),
+            pltpu.VMEM((2, tx + 2, ty + 8, Cc), jnp.bfloat16),
             pltpu.VMEM((tx, ty, kpad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -687,3 +687,123 @@ def torch_frustum_render(voxel_feats, geom, rgb_head, sigma_head,
         rgbs.append(rgb_map)
         depths.append(depth_map)
     return torch.stack(rgbs), torch.stack(depths)
+
+
+# --- full-model forward golden twins (round 3) ------------------------------
+
+
+def torch_create_frustum(input_size, downsample, dbound):
+    """Reference create_frustum (ViewTransformerLSSBEVDepth.py:104-115)."""
+    ogfH, ogfW = input_size
+    fH, fW = ogfH // downsample, ogfW // downsample
+    ds = torch.arange(*dbound, dtype=torch.float).view(-1, 1, 1).expand(
+        -1, fH, fW)
+    D = ds.shape[0]
+    xs = torch.linspace(0, ogfW - 1, fW, dtype=torch.float).view(
+        1, 1, fW).expand(D, fH, fW)
+    ys = torch.linspace(0, ogfH - 1, fH, dtype=torch.float).view(
+        1, fH, 1).expand(D, fH, fW)
+    return torch.stack((xs, ys, ds), -1)  # [D, fH, fW, 3]
+
+
+def torch_get_geometry(frustum, rots, trans, intrins, post_rots, post_trans,
+                       bda):
+    """Reference get_geometry (ViewTransformerLSSBEVDepth.py:117-150),
+    3x3-intrinsics branch."""
+    B, N, _ = trans.shape
+    points = frustum - post_trans.view(B, N, 1, 1, 1, 3)
+    points = torch.inverse(post_rots).view(B, N, 1, 1, 1, 3, 3).matmul(
+        points.unsqueeze(-1))
+    points = torch.cat(
+        (points[:, :, :, :, :, :2] * points[:, :, :, :, :, 2:3],
+         points[:, :, :, :, :, 2:3]), 5)
+    combine = rots.matmul(torch.inverse(intrins))
+    points = combine.view(B, N, 1, 1, 1, 3, 3).matmul(points).squeeze(-1)
+    points = points + trans.view(B, N, 1, 1, 1, 3)
+    points = bda.view(B, 1, 1, 1, 1, 3, 3).matmul(
+        points.unsqueeze(-1)).squeeze(-1)
+    return points
+
+
+def torch_get_mlp_input(rot, tran, intrin, post_rot, post_tran, bda):
+    """Reference get_mlp_input (ViewTransformerLSSBEVDepth.py:636-691),
+    3x3-intrinsics branch: 15 scalars + flattened 3x4 sensor2ego = 27."""
+    B, N = rot.shape[:2]
+    bda = bda.view(B, 1, 3, 3).repeat(1, N, 1, 1)
+    mlp_input = torch.stack([
+        intrin[:, :, 0, 0], intrin[:, :, 1, 1],
+        intrin[:, :, 0, 2], intrin[:, :, 1, 2],
+        post_rot[:, :, 0, 0], post_rot[:, :, 0, 1], post_tran[:, :, 0],
+        post_rot[:, :, 1, 0], post_rot[:, :, 1, 1], post_tran[:, :, 1],
+        bda[:, :, 0, 0], bda[:, :, 0, 1], bda[:, :, 1, 0],
+        bda[:, :, 1, 1], bda[:, :, 2, 2]], dim=-1)
+    sensor2ego = torch.cat([rot, tran.reshape(B, N, 3, 1)],
+                           dim=-1).reshape(B, N, -1)
+    return torch.cat([mlp_input, sensor2ego], dim=-1)
+
+
+def window_knn_oracle(key_mask, offsets, k=2):
+    """Numpy oracle of coocc_tpu.ops.window_knn semantics: for each cell the
+    linear ids of the first k ACTIVE cells in distance-sorted offset order
+    (the exact k nearest within the window; ties broken by offset raster
+    order as in make_offsets). -1 where fewer than k."""
+    import numpy as np
+    X, Y, Z = key_mask.shape
+    out = np.full((X, Y, Z, k), -1, np.int64)
+    km = np.asarray(key_mask)
+    for x in range(X):
+        for y in range(Y):
+            for z in range(Z):
+                found = 0
+                for (dx, dy, dz) in offsets:
+                    nx_, ny_, nz_ = x + dx, y + dy, z + dz
+                    if not (0 <= nx_ < X and 0 <= ny_ < Y and 0 <= nz_ < Z):
+                        continue
+                    if km[nx_, ny_, nz_]:
+                        out[x, y, z, found] = (nx_ * Y + ny_) * Z + nz_
+                        found += 1
+                        if found == k:
+                            break
+    return out
+
+
+class TorchBiFuserN(nn.Module):
+    """BiFuser_N twin (reference state_dict names, bifuser_n.py:14-174).
+
+    Takes precomputed window-KNN neighbour ids (the index-selection
+    semantics are pinned separately by tests/test_window_knn.py against
+    window_knn_oracle); replays the numeric path: gather -> knn_enc
+    (Linear+ReLU) -> multiply local modality -> concat 4 groups ->
+    con_enc (Conv3d+BN3d+ReLU x2). Invalid neighbours contribute zeros
+    (our documented deviation from the reference's wrap-to-last quirk)."""
+
+    def __init__(self, c=128, knum=2):
+        super().__init__()
+        self.knum = knum
+        self.con_enc = nn.Sequential(
+            nn.Conv3d(c * 4, c * 2, 3, padding=1, bias=False),
+            nn.BatchNorm3d(c * 2), nn.ReLU(True),
+            nn.Conv3d(c * 2, c, 3, padding=1, bias=False),
+            nn.BatchNorm3d(c), nn.ReLU(True))
+        self.knn_enc = nn.Sequential(nn.Linear(c * knum, c), nn.ReLU())
+
+    def forward(self, img, pts, nn_img, nn_pts):
+        # img/pts: [1, C, X, Y, Z]; nn_*: [X, Y, Z, k] linear raster ids
+        iv = img.permute(0, 2, 3, 4, 1)[0]
+        pv = pts.permute(0, 2, 3, 4, 1)[0]
+        X, Y, Z, C = iv.shape
+        k = self.knum
+
+        def gather(f, idx):
+            flat = f.reshape(-1, C)
+            safe = idx.clamp(min=0)
+            g = flat[safe.reshape(-1)].reshape(X, Y, Z, k, C)
+            g = g * (idx >= 0)[..., None]
+            return g.reshape(X, Y, Z, k * C)
+
+        img_active = (iv.abs().sum(-1) != 0).float()[..., None]
+        pts_active = (pv.abs().sum(-1) != 0).float()[..., None]
+        fused_img = self.knn_enc(gather(iv, nn_img)) * pv * pts_active
+        fused_pts = self.knn_enc(gather(pv, nn_pts)) * iv * img_active
+        allf = torch.cat([iv, pv, fused_img, fused_pts], dim=-1)[None]
+        return self.con_enc(allf.permute(0, 4, 1, 2, 3))

@@ -110,7 +110,7 @@ def torch_fine_path(tm, voxel_feats, img_feats, transform, final_size,
     s = tm.img_mlp(s.sum(0).permute(1, 0))  # [P, 16]
     feats.append(s)
     logits = tm.fine_mlp(torch.cat(feats, dim=1))
-    return fine.t(), logits  # [P, 3], [P, out]
+    return fine.t(), logits, coarse_occ  # [P, 3], [P, out], [1, out, X, Y, Z]
 
 
 def test_cascade_fine_golden(rng):
@@ -141,7 +141,7 @@ def test_cascade_fine_golden(rng):
         t_transform = tuple(torch.from_numpy(a) for a in
                             (rots, trans, intrins, post_rots, post_trans,
                              bda))
-        ref_coords, ref_logits = torch_fine_path(
+        ref_coords, ref_logits, _ = torch_fine_path(
             tm, [torch.from_numpy(x) for x in xs],
             torch.from_numpy(img_feats), t_transform, final, ratio,
             pc_range, img_hw)
