@@ -34,6 +34,40 @@ def shard_indices(n: int, epoch: int, shuffle: bool, seed: int,
     return order[process_index * per:(process_index + 1) * per]
 
 
+def group_shard_indices(flags: np.ndarray, batch_size: int, epoch: int,
+                        seed: int,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None) -> np.ndarray:
+    """Group-aware per-host indices (DistributedGroupSampler semantics,
+    reference samplers/group_sampler.py:61-103): per group, shuffle and pad
+    by repetition to a multiple of batch_size*process_count; concatenate;
+    shuffle at BATCH granularity (so every batch stays single-group); each
+    host takes a contiguous run of whole batches. Every index appears at
+    least once per epoch (oversampled, never dropped)."""
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    flags = np.asarray(flags)
+    rng = np.random.RandomState(seed + epoch)
+    chunk = batch_size * process_count
+    indices = []
+    for g in np.unique(flags):
+        idx = np.where(flags == g)[0]
+        idx = idx[rng.permutation(len(idx))]
+        extra = -len(idx) % chunk
+        if extra:
+            reps = np.concatenate([idx] * (extra // len(idx) + 1))
+            idx = np.concatenate([idx, reps[:extra]])
+        indices.append(idx)
+    allidx = np.concatenate(indices) if indices else np.zeros(0, np.int64)
+    n_batches = len(allidx) // batch_size
+    order = rng.permutation(n_batches)
+    allidx = allidx.reshape(n_batches, batch_size)[order].reshape(-1)
+    per = n_batches // process_count * batch_size
+    return allidx[process_index * per:(process_index + 1) * per]
+
+
 class PrefetchIterator:
     """Wraps a sample-producing function with worker threads + a bounded
     output queue. Ordering is preserved (workers fill a ticketed buffer)."""
@@ -107,9 +141,15 @@ def prefetch_batches(dataset, cfg, batch_size: int, epoch: int,
     """Yield collated Batches for this host's shard of `dataset`."""
     from .nuscenes_dataset import collate
 
-    idx = shard_indices(len(dataset), epoch, shuffle=is_train, seed=seed,
-                        process_index=process_index,
-                        process_count=process_count)
+    flags = getattr(dataset, "group_flags", None)
+    if is_train and flags is not None:
+        idx = group_shard_indices(flags, batch_size, epoch, seed,
+                                  process_index=process_index,
+                                  process_count=process_count)
+    else:
+        idx = shard_indices(len(dataset), epoch, shuffle=is_train, seed=seed,
+                            process_index=process_index,
+                            process_count=process_count)
     # group indices into batches; each work item decodes a full batch
     n_batches = len(idx) // batch_size
     groups = [idx[i * batch_size:(i + 1) * batch_size]

@@ -119,6 +119,14 @@ class NuScenesOccDataset:
     def __len__(self):
         return len(self.infos)
 
+    @property
+    def group_flags(self) -> np.ndarray:
+        """Aspect-ratio group per sample for the group-aware sampler.
+        3D datasets are single-group in the reference too
+        (mmdet3d custom_3d.py:363-370 sets flag = zeros); kept as a
+        property so format variants can bucket differently."""
+        return np.zeros(len(self), np.uint8)
+
     def get_sample(self, idx: int,
                    rng: Optional[np.random.RandomState] = None) -> Dict:
         cfg = self.cfg

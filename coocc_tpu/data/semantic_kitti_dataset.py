@@ -90,6 +90,11 @@ class SemanticKITTIOccDataset:
     def __len__(self):
         return len(self.scans)
 
+    @property
+    def group_flags(self) -> np.ndarray:
+        """Single aspect-ratio group (reference custom_3d.py:363-370)."""
+        return np.zeros(len(self), np.uint8)
+
     def get_sample(self, idx: int,
                    rng: Optional[np.random.RandomState] = None) -> Dict:
         from PIL import Image

@@ -217,6 +217,9 @@ class CoOccRay(nn.Module):
                 in_channels=cfg.fuser.in_channels,
                 out_channels=cfg.fuser.out_channels,
                 knum=cfg.fuser.knum, dist_thresh=cfg.fuser.dist_thresh,
+                window_rx=cfg.fuser.window_rx,
+                window_ry=cfg.fuser.window_ry,
+                window_rz=cfg.fuser.window_rz,
                 dtype=self.dtype, name="occ_fuser",
             )(img_voxel, pts_voxel, train=train)
         else:

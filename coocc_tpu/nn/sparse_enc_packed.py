@@ -378,7 +378,8 @@ class _PackedSubM(nn.Module):
         p = x_pb.shape[-1] // C_in
         wext = _subm_ext_weight(w, p)
         mode = os.environ.get("COOCC_PALLAS_SUBM", "")
-        if mode and (mode == "interpret" or jax.default_backend() == "tpu"):
+        if (mode and (mode == "interpret" or jax.default_backend() == "tpu")
+                and x_pb.shape[-1] % 128 == 0):  # kernel's lane-align req
             # fused Pallas kernel: the 192-lane ext concat never hits HBM
             # (numerics identical: bf16 operands, fp32 accum)
             from ..ops.pallas.subm_conv import subm_ext_conv

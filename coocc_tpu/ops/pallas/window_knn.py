@@ -3,19 +3,24 @@
 The XLA window_knn (ops/window_knn.py) materializes all (2rx+1)(2ry+1)(2rz+1)
 shifted activity planes in HBM — ~[1215, X*Y*Z] i16 at the flagship grid,
 hundreds of MB of traffic per modality for what is arithmetically a ~0.5 ms
-VPU job. This kernel keeps everything on-chip:
+VPU job. This kernel keeps the reduction on-chip.
 
-  * the padded key mask is laid out [Zp*Xp rows, Yp lanes] and pre-shifted
-    into 2ry+1 lane-rotated copies (built host-side in XLA, a few MB);
-  * the kernel loops over the O distance-sorted offsets; each (dx, dy, dz)
-    is ONE contiguous dynamic-sublane slice of the ROT[dy] copy — rows
-    s = (z+dz+rz)*Xp + (x+dx+rx) for the whole core (z, x) range are a
-    single run of Z*Xp rows because x+dx+rx < Xp always holds;
-  * per offset: v = where(active, rank_o, BIG); b2 = min(b2, max(b1, v));
-    b1 = min(b1, v) — running exact best-2 over unique ranks, any order.
+Layout (the round-2 version dynamically sliced sublanes and failed Mosaic's
+"index multiple of 8" rule; this one has NO dynamic slicing at all):
 
-Output: best1/best2 distance-ranks per cell ([Z*Xp, lanes] i32, garbage in
-the pad rows/lanes); the rank->neighbour-id conversion stays in XLA
+  * host (XLA) builds (2rx+1)*(2ry+1) pre-shifted copies of the key mask,
+    one per (dx, dy): rows = padded z (2rz+1+Z-1 rows), lanes = flattened
+    core (x, y). A (dx, dy, dz) window plane is then a STATIC row slice
+    [dz+rz : dz+rz+Z] of copy (dx, dy) — x/y shifts were baked in by XLA
+    where shifted slices are free;
+  * the kernel runs one grid step per copy; the Pallas pipeline DMAs the
+    next copy while the current one reduces (double-buffered automatically);
+  * per step: an unrolled loop over the 2rz+1 z-offsets updates the running
+    exact best-2 distance-ranks (b2 = min(b2, max(b1, v)); b1 = min(b1, v)
+    — order-free over unique ranks), carried in VMEM scratch across steps.
+
+Output: best1/best2 distance-ranks per cell ([Z, lanes] i32, garbage in the
+pad lanes); the rank->neighbour-id conversion stays in XLA
 (ops/window_knn.py). Numerics identical to the XLA reduction.
 """
 from __future__ import annotations
@@ -29,67 +34,78 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(dyj_ref, soff_ref, rank_ref, rot_ref, b1_ref, b2_ref,
-            *, O, ZX, BIG):
-    b1_ref[:] = jnp.full(b1_ref.shape, BIG, jnp.int32)
-    b2_ref[:] = jnp.full(b2_ref.shape, BIG, jnp.int32)
+def _kernel(rank_ref, rot_ref, out1_ref, out2_ref, b1_ref, b2_ref,
+            *, Z, n_dz, BIG):
+    j = pl.program_id(0)
+    n_j = pl.num_programs(0)
 
-    def body(o, _):
-        j = dyj_ref[o]
-        s0 = soff_ref[o]
-        r = rank_ref[o]
-        win = rot_ref[j, pl.ds(s0, ZX), :]
+    @pl.when(j == 0)
+    def _():
+        b1_ref[:] = jnp.full(b1_ref.shape, BIG, jnp.int32)
+        b2_ref[:] = jnp.full(b2_ref.shape, BIG, jnp.int32)
+
+    for dz in range(n_dz):  # static unroll: all slices static
+        r = rank_ref[j * n_dz + dz]
+        win = rot_ref[0, dz:dz + Z, :]
         v = jnp.where(win != 0, r, BIG)
         b1 = b1_ref[:]
         b2 = b2_ref[:]
         b2_ref[:] = jnp.minimum(b2, jnp.maximum(b1, v))
         b1_ref[:] = jnp.minimum(b1, v)
-        return 0
 
-    jax.lax.fori_loop(0, O, body, 0)
+    @pl.when(j == n_j - 1)
+    def _():
+        out1_ref[:] = b1_ref[:]
+        out2_ref[:] = b2_ref[:]
 
 
-@partial(jax.jit, static_argnames=("rx", "ry", "rz", "interpret"))
-def _best2_ranks(key_mask: jnp.ndarray, offsets: jnp.ndarray, *, rx: int,
-                 ry: int, rz: int, interpret: bool = False):
-    """key_mask [X, Y, Z] bool, offsets [O, 3] i32 (distance-sorted) ->
-    (best1, best2) [X, Y, Z] i32 distance-ranks (O where none active)."""
+@partial(jax.jit, static_argnames=("rx", "ry", "rz", "O", "interpret"))
+def _best2_ranks(key_mask: jnp.ndarray, ranks: jnp.ndarray, *, rx: int,
+                 ry: int, rz: int, O: int, interpret: bool = False):
+    """key_mask [X, Y, Z] bool, ranks [(2rx+1)(2ry+1)(2rz+1)] i32 rank table
+    (O = clipped) -> (best1, best2) [X, Y, Z] i32 distance-ranks (O where
+    none active)."""
     X, Y, Z = key_mask.shape
-    O = offsets.shape[0]
-    Xp = X + 2 * rx
-    Yp = Y + 2 * ry
-    Zp = Z + 2 * rz
+    n_dz = 2 * rz + 1
+    n_xy = (2 * rx + 1) * (2 * ry + 1)
+    Zrows = Z + 2 * rz            # rows needed per copy
+    Rp = -(-Zrows // 32) * 32     # i8 native sublane tile is 32
+    lanes = -(-(X * Y) // 128) * 128
 
-    # [Z, X, Y] z-major, padded; lanes = y
-    m = jnp.transpose(key_mask, (2, 0, 1)).astype(jnp.int8)
-    m = jnp.pad(m, ((rz, rz), (rx, rx), (ry, ry)))
-    lanes = -(-Yp // 128) * 128
-    # ROT[j][s, y] = padded[s, y + j] for j in [0, 2ry]
-    m2 = jnp.pad(m.reshape(Zp * Xp, Yp), ((0, 0), (0, lanes + 2 * ry - Yp)))
-    rot = jnp.stack([m2[:, j:j + lanes] for j in range(2 * ry + 1)])
-
-    dyj = (offsets[:, 1] + ry).astype(jnp.int32)
-    soff = ((offsets[:, 2] + rz) * Xp + offsets[:, 0] + rx).astype(jnp.int32)
-    rank = jnp.arange(O, dtype=jnp.int32)
-    ZX = Z * Xp
+    # ONE transpose to z-major, then each (dx, dy) copy is a strided slice
+    # + pad; int8 keeps the copy tensor (the kernel's whole HBM traffic)
+    # 4x smaller than i32
+    m = jnp.pad(key_mask.astype(jnp.int8),
+                ((rx, rx), (ry, ry), (rz, rz)))
+    mz = jnp.transpose(m, (2, 0, 1))          # [Zrows, Xp, Yp]
+    copies = []
+    for a in range(2 * rx + 1):
+        for b in range(2 * ry + 1):
+            sh = mz[:, a:a + X, b:b + Y].reshape(Zrows, X * Y)
+            copies.append(jnp.pad(sh, ((0, Rp - Zrows),
+                                       (0, lanes - X * Y))))
+    rot = jnp.stack(copies)  # [n_xy, Rp, lanes] i8
 
     b1, b2 = pl.pallas_call(
-        partial(_kernel, O=O, ZX=ZX, BIG=O),
-        grid=(),
+        partial(_kernel, Z=Z, n_dz=n_dz, BIG=O),
+        grid=(n_xy,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp, lanes), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((ZX, lanes), jnp.int32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Z, lanes), jnp.int32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((Z, lanes), jnp.int32),
+            pltpu.VMEM((Z, lanes), jnp.int32),
+        ],
         interpret=interpret,
-    )(dyj, soff, rank, rot)
+    )(ranks, rot)
 
     def core(b):
-        return jnp.transpose(b.reshape(Z, Xp, lanes)[:, :X, :Y], (1, 2, 0))
+        return jnp.transpose(b[:, :X * Y].reshape(Z, X, Y), (1, 2, 0))
 
     return core(b1), core(b2)
 
@@ -101,5 +117,11 @@ def window_knn_best2(key_mask, offsets: np.ndarray, *, interpret=False):
     Returns (best1, best2) [X, Y, Z] i32 with O = "no active in window".
     """
     rx, ry, rz = [int(np.abs(offsets[:, i]).max()) for i in range(3)]
-    return _best2_ranks(key_mask, jnp.asarray(offsets, jnp.int32),
-                        rx=rx, ry=ry, rz=rz, interpret=interpret)
+    O = offsets.shape[0]
+    # rank table [(2rx+1)(2ry+1), 2rz+1]: distance-rank of each (dx, dy,
+    # dz); O for window cells clipped by dist_thresh (no offset row)
+    table = np.full(((2 * rx + 1) * (2 * ry + 1), 2 * rz + 1), O, np.int32)
+    for o, (dx, dy, dz) in enumerate(np.asarray(offsets)):
+        table[(dx + rx) * (2 * ry + 1) + (dy + ry), dz + rz] = o
+    return _best2_ranks(key_mask, jnp.asarray(table.reshape(-1)),
+                        rx=rx, ry=ry, rz=rz, O=O, interpret=interpret)

@@ -17,8 +17,9 @@ from coocc_tpu.ops.pallas.subm_conv import subm_ext_conv
 
 
 @pytest.mark.parametrize("B,bz,X,Y,C,p", [
-    (1, 3, 12, 16, 8, 4),
-    (2, 2, 9, 11, 16, 2),   # odd spatial -> tile padding paths
+    # pC = p*C must be 128-aligned (kernel req; true at every encoder level)
+    (1, 3, 12, 16, 32, 4),
+    (2, 2, 9, 11, 64, 2),   # odd spatial -> tile padding paths
 ])
 def test_subm_ext_conv_matches_xla(rng, B, bz, X, Y, C, p):
     pC = p * C
