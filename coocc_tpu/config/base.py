@@ -177,10 +177,11 @@ class FuserConfig:
     # realistic occupancy at the flagship fuser grid
     # (tools/knn_window_missrate.py, 3 scenes): best-2 miss rate
     # (4,4,7) = 0.7% pts->img / 3.3% img->pts; (6,6,7) = 0.3% / 0.6%;
-    # (8,8,7) = 0.03% / 0.13%. (6,6,7) keeps both directions <1%; the
-    # shipped configs set it where the measured on-chip fuser cost allows.
-    window_rx: int = 4
-    window_ry: int = 4
+    # (8,8,7) = 0.03% / 0.13%. Default (6,6,7): keeps both directions <1%,
+    # and under the Pallas best-2 kernel the widening costs only +0.9 ms
+    # vs the old XLA (4,4,7) fuser (on-chip A/B, tools/ab_knn_r3.py).
+    window_rx: int = 6
+    window_ry: int = 6
     window_rz: int = 7
 
 

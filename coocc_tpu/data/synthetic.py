@@ -54,7 +54,10 @@ def tiny_config(use_camera=True, use_lidar=True, num_classes=17,
             sparse_shape_xyz=(160, 160, 32),
             max_voxels=4096, max_voxels_test=4096, max_points=8192,
         ) if use_lidar else None,
-        fuser=FuserConfig() if (use_camera and use_lidar) else None,
+        # narrow window keeps the dryrun's XLA KNN compile small; the tiny
+        # grid fits inside it anyway (structural coverage, not fidelity)
+        fuser=FuserConfig(window_rx=4, window_ry=4, window_rz=7)
+        if (use_camera and use_lidar) else None,
         semantic=SemanticEncoderConfig(
             block_inplanes=(32, 64, 128, 256), neck_out_channels=64,
             neck_with_cp=False),

@@ -111,9 +111,12 @@ class SwinBlock(nn.Module):
         """x: [B, H, W, C]."""
         B, H, W, C = x.shape
         ws = self.window_size
-        shift = self.shift if min(H, W) > self.window_size else 0
+        # the reference shifts on every odd block regardless of input size
+        # (swintransformer.py:440 — no small-input shift disable; the seam
+        # mask blocks the wrapped-in attention), so we must too
+        shift = self.shift
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         # pad to window multiples (static), as the torch reference does at
         # forward (swintransformer.py:185-189); pad tokens attend freely in
         # un-shifted windows — reproduced standard Swin behavior
@@ -133,7 +136,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = x + y[:, :H, :W]
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(C * self.mlp_ratio, dtype=self.dtype, name="ffn_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, name="ffn_fc2")(y)
@@ -154,7 +157,7 @@ class PatchMerging(nn.Module):
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
             B, H // 2, W // 2, 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dims, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -186,7 +189,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dims, (p, p), (p, p), padding="VALID",
                     dtype=self.dtype, name="patch_embed")(x)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         outs = []
         dims = self.embed_dims
@@ -197,7 +200,7 @@ class SwinTransformer(nn.Module):
                               mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                               name=f"stage{i}_block{b}")(x)
             if i in self.out_indices:
-                o = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{i}")(x)
+                o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
                 outs.append(o)
             if i < len(self.depths) - 1:
                 x = PatchMerging(dims * 2, dtype=self.dtype,

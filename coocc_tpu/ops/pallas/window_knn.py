@@ -47,7 +47,9 @@ def _kernel(rank_ref, rot_ref, out1_ref, out2_ref, b1_ref, b2_ref,
     for dz in range(n_dz):  # static unroll: all slices static
         r = rank_ref[j * n_dz + dz]
         win = rot_ref[0, dz:dz + Z, :]
-        v = jnp.where(win != 0, r, BIG)
+        # explicit i8 -> i32 upcast: Mosaic rejects the relayout of an i1
+        # mask born in the packed (32,128) i8 tiling against i32 operands
+        v = jnp.where(win.astype(jnp.int32) != 0, r, BIG)
         b1 = b1_ref[:]
         b2 = b2_ref[:]
         b2_ref[:] = jnp.minimum(b2, jnp.maximum(b1, v))

@@ -67,8 +67,13 @@ def window_knn(key_mask: jnp.ndarray, offsets: np.ndarray,
     n = X * Y * Z
     BIG = jnp.int32(O)
 
-    mode = os.environ.get("COOCC_PALLAS_KNN", "")
-    if mode and (mode == "interpret" or jax.default_backend() == "tpu"):
+    # Pallas best-2 kernel is the DEFAULT on TPU since the round-3 on-chip
+    # A/B (exact match; fuser 14.56 vs 15.92 ms at (4,4,7), 16.80 vs 18.66
+    # at (6,6,7) — tools/ab_knn_r3.py). COOCC_PALLAS_KNN=0 reverts to the
+    # XLA reduction; =interpret forces the kernel's CPU interpreter (tests).
+    mode = os.environ.get("COOCC_PALLAS_KNN", "1")
+    if (mode not in ("", "0", "off")
+            and (mode == "interpret" or jax.default_backend() == "tpu")):
         # VMEM-resident best-2 rank kernel: avoids materializing the
         # [O, n] plane tensor in HBM (numerics identical)
         from .pallas.window_knn import window_knn_best2

@@ -159,6 +159,11 @@ class ParamTreeBuilder:
         self._set(self.params, f"{fpath}/weight",
                   spconv_w(sd[f"{tpath}.weight"]))
 
+    def ln(self, sd, tpath, fpath):
+        """torch nn.LayerNorm -> flax nn.LayerNorm at fpath."""
+        self._set(self.params, f"{fpath}/scale", sd[f"{tpath}.weight"])
+        self._set(self.params, f"{fpath}/bias", sd[f"{tpath}.bias"])
+
 
 def convert_resnet(b: ParamTreeBuilder, sd, tprefix: str, fprefix: str,
                    depth: int):
@@ -279,6 +284,88 @@ def convert_sparse_encoder_hd(
     b.masked_bn(sd, f"{tprefix}.conv_out.1", f"{fprefix}/norm_out/bn")
 
 
+def convert_swin(b, sd, tprefix, fprefix, depths=(2, 2, 6, 2),
+                 out_indices=(0, 1, 2, 3)):
+    """Swin backbone (reference swintransformer.py:465-770, mmdet naming).
+
+    Handles the two layout deltas: torch Linear transposes, and the mmcv
+    PatchMerging Unfold channel order (CHANNEL-major c*4+pos) vs our
+    position-major 2x2 concat (pos*C+c) — the reduction weight's input dim
+    and the pre-reduction LayerNorm are permuted accordingly.
+    """
+    b._set(b.params, f"{fprefix}/patch_embed/kernel",
+           conv2d_w(sd[f"{tprefix}.patch_embed.projection.weight"]))
+    b._set(b.params, f"{fprefix}/patch_embed/bias",
+           sd[f"{tprefix}.patch_embed.projection.bias"])
+    b.ln(sd, f"{tprefix}.patch_embed.norm", f"{fprefix}/patch_norm")
+    for i, d in enumerate(depths):
+        for blk in range(d):
+            t = f"{tprefix}.stages.{i}.blocks.{blk}"
+            f = f"{fprefix}/stage{i}_block{blk}"
+            b.ln(sd, f"{t}.norm1", f"{f}/norm1")
+            b._set(b.params, f"{f}/attn/relative_position_bias_table",
+                   sd[f"{t}.attn.w_msa.relative_position_bias_table"])
+            b.dense(sd, f"{t}.attn.w_msa.qkv", f"{f}/attn/qkv")
+            b.dense(sd, f"{t}.attn.w_msa.proj", f"{f}/attn/proj")
+            b.ln(sd, f"{t}.norm2", f"{f}/norm2")
+            b.dense(sd, f"{t}.ffn.layers.0.0", f"{f}/ffn_fc1")
+            b.dense(sd, f"{t}.ffn.layers.1", f"{f}/ffn_fc2")
+        if i < len(depths) - 1:
+            t = f"{tprefix}.stages.{i}.downsample"
+            f = f"{fprefix}/downsample{i}"
+            w = np.asarray(sd[f"{t}.reduction.weight"])   # [out, 4C] c-major
+            C = w.shape[1] // 4
+            q = np.arange(w.shape[1])
+            r = (q % C) * 4 + q // C                      # flax pos-major -> ref
+            b._set(b.params, f"{f}/reduction/kernel", w[:, r].T)
+            b._set(b.params, f"{f}/norm/scale",
+                   np.asarray(sd[f"{t}.norm.weight"])[r])
+            b._set(b.params, f"{f}/norm/bias",
+                   np.asarray(sd[f"{t}.norm.bias"])[r])
+    for i in out_indices:
+        b.ln(sd, f"{tprefix}.norm{i}", f"{fprefix}/out_norm{i}")
+
+
+def convert_efficientnet(b, sd, tprefix, fprefix, arch="b0",
+                         out_indices=(2, 3, 4, 5)):
+    """EfficientNet backbone (reference efficientnet.py:275-520, mmdet
+    naming: layers.0 stem ConvModule, layers.{i}.{j} blocks with
+    expand_conv/depthwise_conv/se.conv1/se.conv2/linear_conv (MBConv) or
+    conv1/conv2 (fused-MBConv), trailing ConvModule when reached)."""
+    from ..nn.efficientnet import scaled_layers
+
+    for si, stage in enumerate(scaled_layers(arch)):
+        if si > max(out_indices):
+            break
+        for bi, (k, oc, se, s, e, bt) in enumerate(stage):
+            f = f"{fprefix}/stage{si}_block{bi}"
+            if bt == -1:                       # plain ConvModule layer
+                t = f"{tprefix}.layers.{si}"
+                b.conv2d(sd, f"{t}.conv", f)
+                b.bn(sd, f"{t}.bn", f"{f}/bn")
+                continue
+            t = f"{tprefix}.layers.{si}.{bi}"
+            if bt == 1:                        # EdgeResidual (fused-MBConv)
+                b.conv2d(sd, f"{t}.conv1.conv", f"{f}/expand")
+                b.bn(sd, f"{t}.conv1.bn", f"{f}/expand/bn")
+                if se > 0:
+                    b.conv2d(sd, f"{t}.se.conv1.conv", f"{f}/se/fc1")
+                    b.conv2d(sd, f"{t}.se.conv2.conv", f"{f}/se/fc2")
+                b.conv2d(sd, f"{t}.conv2.conv", f"{f}/project")
+                b.bn(sd, f"{t}.conv2.bn", f"{f}/project/bn")
+            else:                              # InvertedResidual (MBConv)
+                if e != 1:
+                    b.conv2d(sd, f"{t}.expand_conv.conv", f"{f}/expand")
+                    b.bn(sd, f"{t}.expand_conv.bn", f"{f}/expand/bn")
+                b.conv2d(sd, f"{t}.depthwise_conv.conv", f"{f}/dw")
+                b.bn(sd, f"{t}.depthwise_conv.bn", f"{f}/dw/bn")
+                if se > 0:
+                    b.conv2d(sd, f"{t}.se.conv1.conv", f"{f}/se/fc1")
+                    b.conv2d(sd, f"{t}.se.conv2.conv", f"{f}/se/fc2")
+                b.conv2d(sd, f"{t}.linear_conv.conv", f"{f}/project")
+                b.bn(sd, f"{t}.linear_conv.bn", f"{f}/project/bn")
+
+
 def convert_second3d(b, sd, tprefix, fprefix, layer_nums):
     """SECOND3D blocks (reference coocc/backbones/second3d.py:53-77):
     blocks.{i} = Sequential(conv, bn, relu, [conv, bn, relu] * layer_num)."""
@@ -395,8 +482,13 @@ def convert_coocc_ray(state_dict: Dict[str, Any], cfg) -> Dict:
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     b = ParamTreeBuilder()
     if cfg.use_camera:
-        convert_resnet(b, sd, "img_backbone", "img_backbone",
-                       cfg.img_backbone.depth)
+        if cfg.img_backbone.type == "SwinTransformer":
+            convert_swin(b, sd, "img_backbone", "img_backbone",
+                         cfg.img_backbone.swin_depths,
+                         cfg.img_backbone.out_indices)
+        else:
+            convert_resnet(b, sd, "img_backbone", "img_backbone",
+                           cfg.img_backbone.depth)
         convert_second_fpn(b, sd, "img_neck", "img_neck",
                            cfg.img_neck.upsample_strides)
         convert_depthnet(b, sd, "img_view_transformer.depth_net",

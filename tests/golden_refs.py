@@ -807,3 +807,304 @@ class TorchBiFuserN(nn.Module):
         fused_pts = self.knn_enc(gather(pv, nn_pts)) * iv * img_active
         allf = torch.cat([iv, pv, fused_img, fused_pts], dim=-1)[None]
         return self.con_enc(allf.permute(0, 4, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Swin Transformer twin (reference swintransformer.py:20-770, mmdet naming:
+# patch_embed.projection/norm, stages.{i}.blocks.{b}.{norm1,attn.w_msa.*,
+# norm2,ffn.layers.*}, stages.{i}.downsample.{norm,reduction}, norm{i})
+# ---------------------------------------------------------------------------
+
+class _TorchWindowMSA(nn.Module):
+    """WindowMSA twin (swintransformer.py:20-124, double_step_seq index)."""
+
+    def __init__(self, dims, heads, ws):
+        super().__init__()
+        self.num_heads = heads
+        self.ws = ws
+        self.scale = (dims // heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * ws - 1) ** 2, heads))
+        s1 = torch.arange(0, (2 * ws - 1) * ws, 2 * ws - 1)
+        s2 = torch.arange(0, ws)
+        rel = (s1[:, None] + s2[None, :]).reshape(1, -1)
+        self.register_buffer("relative_position_index",
+                             (rel + rel.T).flip(1).contiguous())
+        self.qkv = nn.Linear(dims, dims * 3)
+        self.proj = nn.Linear(dims, dims)
+
+    def forward(self, x, mask=None):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads,
+                                  C // self.num_heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(N, N, -1)
+        attn = attn + bias.permute(2, 0, 1)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.view(B // nW, nW, self.num_heads, N, N) \
+                + mask[None, :, None]
+            attn = attn.view(-1, self.num_heads, N, N)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+class _TorchShiftWindowAttn(nn.Module):
+    """ShiftWindowMSA twin (swintransformer.py:126-280): pad-to-window,
+    cyclic roll, seam mask, partition/reverse."""
+
+    def __init__(self, dims, heads, ws, shift):
+        super().__init__()
+        self.ws, self.shift = ws, shift
+        self.w_msa = _TorchWindowMSA(dims, heads, ws)
+
+    def forward(self, x):  # [B, H, W, C]
+        B, H, W, C = x.shape
+        ws = self.ws
+        pad_r = (ws - W % ws) % ws
+        pad_b = (ws - H % ws) % ws
+        x = torch.nn.functional.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        Hp, Wp = x.shape[1], x.shape[2]
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+            img = torch.zeros((1, Hp, Wp, 1))
+            cnt = 0
+            sl = (slice(0, -ws), slice(-ws, -self.shift),
+                  slice(-self.shift, None))
+            for h in sl:
+                for w in sl:
+                    img[:, h, w, :] = cnt
+                    cnt += 1
+            mw = self._part(img).view(-1, ws * ws)
+            mask = mw[:, None] - mw[:, :, None]
+            mask = mask.masked_fill(mask != 0, -100.0)
+        else:
+            mask = None
+        wins = self._part(x).view(-1, ws * ws, C)
+        wins = self.w_msa(wins, mask)
+        x = self._rev(wins.view(-1, ws, ws, C), Hp, Wp)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), dims=(1, 2))
+        return x[:, :H, :W]
+
+    def _part(self, x):
+        B, H, W, C = x.shape
+        ws = self.ws
+        x = x.view(B, H // ws, ws, W // ws, ws, C)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+    def _rev(self, wins, H, W):
+        ws = self.ws
+        B = wins.shape[0] * ws * ws // (H * W)
+        x = wins.view(B, H // ws, W // ws, ws, ws, -1)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class _TorchSwinBlock(nn.Module):
+    """SwinBlock twin (swintransformer.py:286-377, mmcv FFN layer names)."""
+
+    def __init__(self, dims, heads, ws, shift, mlp_ratio=4):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dims)
+        # self.attn IS the ShiftWindowMSA in the reference (:339), so the
+        # parameter path attn.w_msa.* matches without aliasing
+        self.attn = _TorchShiftWindowAttn(dims, heads, ws, shift)
+        self.norm2 = nn.LayerNorm(dims)
+        self.ffn = nn.Module()
+        self.ffn.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(dims, dims * mlp_ratio), nn.GELU(),
+                          nn.Dropout(0.0)),
+            nn.Linear(dims * mlp_ratio, dims), nn.Dropout(0.0))
+
+    def forward(self, x):  # [B, H, W, C]
+        y = self.attn(self.norm1(x))
+        x = x + y
+        y = self.ffn.layers(self.norm2(x))
+        return x + y
+
+
+class _TorchPatchMerging(nn.Module):
+    """PatchMerging twin (utils/transformer.py:300-430): Unfold(2,2) ->
+    LN(4C) -> Linear(4C, out, bias=False). Unfold channel order is
+    CHANNEL-major (c*4 + pos, pos = h*2+w) — unlike original Swin."""
+
+    def __init__(self, c, out):
+        super().__init__()
+        self.sampler = nn.Unfold(kernel_size=2, stride=2)
+        self.norm = nn.LayerNorm(4 * c)
+        self.reduction = nn.Linear(4 * c, out, bias=False)
+
+    def forward(self, x):  # [B, H, W, C] (even H, W assumed; ref pads)
+        B, H, W, C = x.shape
+        u = self.sampler(x.permute(0, 3, 1, 2))  # [B, 4C, L]
+        u = u.transpose(1, 2)                    # [B, L, 4C] c-major
+        u = self.reduction(self.norm(u))
+        return u.view(B, H // 2, W // 2, -1)
+
+
+class TorchSwinT(nn.Module):
+    """SwinTransformer twin (swintransformer.py:465-770). NCHW in,
+    tuple of NCHW outs (the flax side is NHWC; tests transpose)."""
+
+    def __init__(self, in_ch=3, embed=96, patch=4, ws=7,
+                 depths=(2, 2, 6, 2), heads=(3, 6, 12, 24),
+                 out_indices=(0, 1, 2, 3)):
+        super().__init__()
+        self.patch, self.out_indices = patch, out_indices
+        self.patch_embed = nn.Module()
+        self.patch_embed.projection = nn.Conv2d(in_ch, embed, patch,
+                                                stride=patch)
+        self.patch_embed.norm = nn.LayerNorm(embed)
+        self.stages = nn.ModuleList()
+        dims = embed
+        for i, d in enumerate(depths):
+            stage = nn.Module()
+            stage.blocks = nn.ModuleList([
+                _TorchSwinBlock(dims, heads[i], ws,
+                                0 if b % 2 == 0 else ws // 2)
+                for b in range(d)])
+            if i < len(depths) - 1:
+                stage.downsample = _TorchPatchMerging(dims, dims * 2)
+                dims *= 2
+            self.stages.append(stage)
+        dims = embed
+        for i in range(len(depths)):
+            self.add_module(f"norm{i}", nn.LayerNorm(dims))
+            dims *= 2
+
+    def forward(self, x):  # [B, 3, H, W]
+        x = self.patch_embed.projection(x).permute(0, 2, 3, 1)
+        x = self.patch_embed.norm(x)
+        outs = []
+        for i, stage in enumerate(self.stages):
+            for blk in stage.blocks:
+                x = blk(x)
+            if i in self.out_indices:
+                o = getattr(self, f"norm{i}")(x)
+                outs.append(o.permute(0, 3, 1, 2))
+            if hasattr(stage, "downsample"):
+                x = stage.downsample(x)
+        return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet twin (reference efficientnet.py:15-520, mmdet naming:
+# layers.0 stem ConvModule; layers.{i}.{j} InvertedResidual
+# {expand_conv,depthwise_conv,se.conv1,se.conv2,linear_conv} / EdgeResidual
+# {conv1,se,conv2}; trailing ConvModule layer)
+# ---------------------------------------------------------------------------
+
+def _t_swish(x):
+    return x * torch.sigmoid(x)
+
+
+class _TConvModule(nn.Module):
+    """ConvModule(conv,bn,swish) twin (mmcv naming .conv/.bn)."""
+
+    def __init__(self, cin, cout, k, s, groups=1, act=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, s, k // 2, groups=groups,
+                              bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        self._act = act
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return _t_swish(x) if self._act else x
+
+
+class _TSELayer(nn.Module):
+    """mmdet SELayer twin: conv1/conv2 are biased 1x1 ConvModules."""
+
+    def __init__(self, channels, ratio):
+        super().__init__()
+        hidden = max(1, int(channels / ratio))
+        self.conv1 = nn.Module()
+        self.conv1.conv = nn.Conv2d(channels, hidden, 1)
+        self.conv2 = nn.Module()
+        self.conv2.conv = nn.Conv2d(hidden, channels, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = _t_swish(self.conv1.conv(s))
+        return x * torch.sigmoid(self.conv2.conv(s))
+
+
+class _TInvertedResidual(nn.Module):
+    def __init__(self, cin, cout, k, s, e, se_ratio):
+        super().__init__()
+        mid = int(cin * e)
+        self._res = (s == 1 and cin == cout)
+        if e != 1:
+            self.expand_conv = _TConvModule(cin, mid, 1, 1)
+        self.depthwise_conv = _TConvModule(mid, mid, k, s, groups=mid)
+        if se_ratio > 0:
+            self.se = _TSELayer(mid, e * se_ratio)
+        self.linear_conv = _TConvModule(mid, cout, 1, 1, act=False)
+
+    def forward(self, x):
+        y = x
+        if hasattr(self, "expand_conv"):
+            y = self.expand_conv(y)
+        y = self.depthwise_conv(y)
+        if hasattr(self, "se"):
+            y = self.se(y)
+        y = self.linear_conv(y)
+        return x + y if self._res else y
+
+
+class _TEdgeResidual(nn.Module):
+    def __init__(self, cin, cout, k, s, e, se_ratio):
+        super().__init__()
+        mid = int(cin * e)
+        self._res = (s == 1 and cin == cout)
+        self.conv1 = _TConvModule(cin, mid, k, s)
+        if se_ratio > 0:
+            self.se = _TSELayer(mid, e * se_ratio)
+        self.conv2 = _TConvModule(mid, cout, 1, 1, act=False)
+
+    def forward(self, x):
+        y = self.conv1(x)
+        if hasattr(self, "se"):
+            y = self.se(y)
+        y = self.conv2(y)
+        return x + y if self._res else y
+
+
+class TorchEfficientNet(nn.Module):
+    """CustomEfficientNet twin driven by the same scaled layer table as
+    the flax side (coocc_tpu.nn.efficientnet.scaled_layers mirrors the
+    reference's post-model_scaling grouping, efficientnet.py:231-271)."""
+
+    def __init__(self, arch="b0", out_indices=(2, 3, 4, 5)):
+        super().__init__()
+        from coocc_tpu.nn.efficientnet import scaled_layers
+        self.out_indices = out_indices
+        self.layers = nn.ModuleList()
+        cin = 3
+        for si, stage in enumerate(scaled_layers(arch)):
+            if si > max(out_indices):
+                break
+            blocks = []
+            for (k, oc, se, s, e, bt) in stage:
+                if bt == -1:
+                    self.layers.append(_TConvModule(cin, oc, k, s))
+                    cin = oc
+                    blocks = None
+                    break
+                cls = _TEdgeResidual if bt == 1 else _TInvertedResidual
+                blocks.append(cls(cin, oc, k, s, e, se))
+                cin = oc
+            if blocks is not None:
+                self.layers.append(nn.Sequential(*blocks))
+
+    def forward(self, x):
+        outs = []
+        for i, layer in enumerate(self.layers):
+            x = layer(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -137,7 +137,8 @@ def test_full_model_forward_golden(rng):
         xin, msk = _dense_pts(batch_np.points[0], cfg)
         pts_voxel, _ = t_enc(xin, msk)  # [1, C, X, Y, Z]
 
-        offsets = make_offsets(4, 4, 7, cfg.fuser.dist_thresh)
+        offsets = make_offsets(cfg.fuser.window_rx, cfg.fuser.window_ry,
+                               cfg.fuser.window_rz, cfg.fuser.dist_thresh)
         img_act = (img_voxel.abs().sum(1)[0] != 0).numpy()
         pts_act = (pts_voxel.abs().sum(1)[0] != 0).numpy()
         nn_img = torch.from_numpy(window_knn_oracle(img_act, offsets, 2))
