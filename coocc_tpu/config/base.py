@@ -113,6 +113,19 @@ class LSSConfig:
     cam_channels: int = 27
     loss_depth_weight: float = 1.0
     loss_depth_type: str = "bce"        # 'bce' | 'kld'
+    # --- temporal-stereo depth (BEVStereo path, nn/lss_stereo.py). The
+    # reference registers ViewTransformerLSSBEVStereo but ships no config
+    # using it (ViewTransformerLSSBEVDepth.py:938) — same here: stereo=True
+    # swaps the mono DepthNet for LSSBEVStereo fed by the previous keyframe
+    # (batch.imgs_prev + per-camera key->prev transforms from the dataset).
+    stereo: bool = False
+    stereo_downsample: int = 4          # image stride of the stereo features
+    stereo_num_ranges: int = 4
+    stereo_range_list: Tuple[Tuple[float, float], ...] = (
+        (2, 8), (8, 16), (16, 28), (28, 58))
+    stereo_em_iteration: int = 3
+    stereo_num_samples: int = 3
+    stereo_num_groups: int = 8
 
 
 @dataclass(frozen=True)

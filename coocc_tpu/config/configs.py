@@ -7,6 +7,7 @@ Key deltas verified by diff (SURVEY §2.6).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Dict
 
 from .base import (
@@ -76,6 +77,19 @@ def coocc_multi_r50_256x704() -> CoOccConfig:
         render=RenderConfig(
             N_samples=64, N_rand=4096, near_far_range=(0.2, 100.0),
         ),
+    )
+
+
+@register
+def coocc_multi_r50_256x704_stereo() -> CoOccConfig:
+    """Flagship + BEVStereo temporal-stereo depth (capability envelope:
+    the reference registers ViewTransformerLSSBEVStereo but ships no config
+    using it, ViewTransformerLSSBEVDepth.py:938). The dataset feeds the
+    previous keyframe per sample (nuscenes_dataset._add_stereo_prev)."""
+    base = coocc_multi_r50_256x704()
+    return base.replace(
+        name="coocc_multi_r50_256x704_stereo",
+        lss=dataclasses.replace(base.lss, stereo=True),
     )
 
 

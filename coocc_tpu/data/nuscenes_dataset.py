@@ -27,6 +27,18 @@ DEFAULT_BDA = dict(rot_lim=(0, 0), scale_lim=(1, 1), flip_dx_ratio=0,
                    flip_dy_ratio=0, flip_dz_ratio=0)
 
 
+def _quat_rot(q) -> np.ndarray:
+    """[w, x, y, z] quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = np.asarray(q, np.float64)
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n < 1e-12 else 2.0 / n
+    return np.array([
+        [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+        [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+        [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+    ])
+
+
 def load_points_with_sweeps(info: Dict, sweeps_num: int = 10,
                             rng: Optional[np.random.RandomState] = None,
                             test_mode: bool = False) -> np.ndarray:
@@ -127,6 +139,53 @@ class NuScenesOccDataset:
         property so format variants can bucket differently."""
         return np.zeros(len(self), np.uint8)
 
+    def _add_stereo_prev(self, idx: int, info: Dict, out: Dict) -> None:
+        """Previous-keyframe inputs for the BEVStereo depth path
+        (cfg.lss.stereo): imgs_prev + per-camera key-cam -> prev-cam rigid
+        transforms via the global frame (cam2global = ego2global @ lidar2ego
+        @ sensor2lidar, cam timestamp approximated by the lidar keyframe's).
+        First frame of a scene pairs with itself (identity motion) — the
+        BEVStereo convention for missing adjacency. Prev images are loaded
+        with the deterministic test-time transform (the plane-sweep warp
+        omits image aug, nn/lss_stereo.homo_warp)."""
+        prev = self.infos[idx - 1] if idx > 0 and \
+            self.infos[idx - 1].get("scene_token") == \
+            info.get("scene_token") else info
+
+        def cam2global(fr, cam_name):
+            cam = fr["cams"][cam_name]
+            s2l = np.eye(4)
+            s2l[:3, :3] = np.asarray(cam["sensor2lidar_rotation"])
+            s2l[:3, 3] = np.asarray(cam["sensor2lidar_translation"])
+            l2e = np.eye(4)
+            l2e[:3, :3] = _quat_rot(fr["lidar2ego_rotation"])
+            l2e[:3, 3] = np.asarray(fr["lidar2ego_translation"])
+            e2g = np.eye(4)
+            e2g[:3, :3] = _quat_rot(fr["ego2global_rotation"])
+            e2g[:3, 3] = np.asarray(fr["ego2global_translation"])
+            return e2g @ l2e @ s2l
+
+        prev_cam_infos = {}
+        for cam_name, cam in prev["cams"].items():
+            prev_cam_infos[cam_name] = dict(
+                data_path=os.path.join(self.data_root, cam["data_path"])
+                if not os.path.isabs(cam["data_path"]) else cam["data_path"],
+                cam_intrinsic=cam["cam_intrinsic"],
+                lidar2cam=np.eye(4),  # unused for stereo imgs
+            )
+        prev_imgs = load_multi_view_images(prev_cam_infos, self.cfg.data,
+                                           is_train=False)
+        out["imgs_prev"] = prev_imgs["imgs"]
+
+        k2s_r, k2s_t = [], []
+        for cam_name in self.cfg.data.cams:
+            T = np.linalg.inv(cam2global(prev, cam_name)) \
+                @ cam2global(info, cam_name)
+            k2s_r.append(T[:3, :3].astype(np.float32))
+            k2s_t.append(T[:3, 3].astype(np.float32))
+        out["k2s_rots"] = np.stack(k2s_r)
+        out["k2s_trans"] = np.stack(k2s_t)
+
     def get_sample(self, idx: int,
                    rng: Optional[np.random.RandomState] = None) -> Dict:
         cfg = self.cfg
@@ -157,6 +216,8 @@ class NuScenesOccDataset:
             imgs = load_multi_view_images(cam_infos, cfg.data, self.is_train,
                                           rng)
             out.update(imgs)
+            if cfg.lss is not None and cfg.lss.stereo:
+                self._add_stereo_prev(idx, info, out)
         elif cfg.render.use_rendering:
             # camera-free geometry branch (reference: lidar2depth.py:90-178
             # builds per-camera calib + depth maps without loading images so

@@ -18,7 +18,7 @@ from ..config.base import (
 
 
 def tiny_config(use_camera=True, use_lidar=True, num_classes=17,
-                cascade=True) -> CoOccConfig:
+                cascade=True, stereo=False) -> CoOccConfig:
     """A miniature but structurally complete config for CPU tests."""
     pc_range = (-10.0, -10.0, -2.0, 10.0, 10.0, 2.0)
     occ_size = (40, 40, 8)
@@ -48,7 +48,12 @@ def tiny_config(use_camera=True, use_lidar=True, num_classes=17,
         # (entry() compile-checks the real R50)
         img_backbone=ImageBackboneConfig(depth=10) if use_camera else None,
         img_neck=ImageNeckConfig() if use_camera else None,
-        lss=LSSConfig(downsample=16) if use_camera else None,
+        lss=LSSConfig(
+            downsample=16, stereo=stereo,
+            # dbound (1, 9, 0.5): four contiguous 2m ranges
+            stereo_range_list=((1, 3), (3, 5), (5, 7), (7, 9)),
+            stereo_em_iteration=1,
+            stereo_num_groups=8) if use_camera else None,
         pts=PtsBranchConfig(
             voxel_size=(0.125, 0.125, 0.125),
             sparse_shape_xyz=(160, 160, 32),
@@ -123,6 +128,24 @@ def synthetic_batch(cfg: CoOccConfig, batch_size: int = 1, seed: int = 0):
         depth = rng.uniform(0, cfg.grid.dbound[1], (B, N, H, W))
         depth = depth * (rng.rand(B, N, H, W) > 0.5)  # sparse LiDAR depth
         kw["gt_depths"] = depth.astype(np.float32)
+        if cfg.lss is not None and cfg.lss.stereo:
+            # previous keyframe: same ring, small forward ego motion
+            kw["imgs_prev"] = rng.rand(B, N, H, W, 3).astype(np.float32)
+            yaw = 0.02
+            Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                           [np.sin(yaw), np.cos(yaw), 0],
+                           [0, 0, 1]], np.float32)
+            # key-cam -> prev-cam: R_prev^-1 @ (R_ego @ R_key), translation
+            # from a 0.5 m ego step expressed in the prev camera frame
+            step = np.array([0.5, 0.0, 0.0], np.float32)
+            k2s_r = np.einsum("nij,jk,nkl->nil",
+                              rots.transpose(0, 2, 1), Rz, rots)
+            k2s_t = np.einsum("nij,j->ni", rots.transpose(0, 2, 1),
+                              step)
+            kw["k2s_rots"] = np.broadcast_to(
+                k2s_r.astype(np.float32), (B, N, 3, 3)).copy()
+            kw["k2s_trans"] = np.broadcast_to(
+                k2s_t.astype(np.float32), (B, N, 3)).copy()
     else:
         # the lidar-only model still renders depth from gt_depths geometry
         N = cfg.data.num_cams

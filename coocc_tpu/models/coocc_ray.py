@@ -57,6 +57,10 @@ class Batch(NamedTuple):
     points_occ_mask: Optional[jnp.ndarray] = None
     visible_mask: Optional[jnp.ndarray] = None  # [B, X, Y, Z] uint8 (openocc)
     gt_occ_2: Optional[jnp.ndarray] = None      # [B, X/2, Y/2, Z/2] (kitti 1_2)
+    # temporal-stereo depth inputs (cfg.lss.stereo; nn/lss_stereo.py)
+    imgs_prev: Optional[jnp.ndarray] = None     # [B, N, H, W, 3]
+    k2s_rots: Optional[jnp.ndarray] = None      # [B, N, 3, 3] key-cam -> prev-cam
+    k2s_trans: Optional[jnp.ndarray] = None     # [B, N, 3]
 
 
 class CoOccRay(nn.Module):
@@ -77,9 +81,29 @@ class CoOccRay(nn.Module):
                 out_indices=cfg.img_backbone.out_indices,
                 dtype=self.dtype, name="img_backbone")(x, train=train)
         else:
-            feats = ResNet(depth=cfg.img_backbone.depth,
-                           norm_eval=cfg.img_backbone.norm_eval,
-                           dtype=self.dtype, name="img_backbone")(x, train=train)
+            backbone = ResNet(depth=cfg.img_backbone.depth,
+                              norm_eval=cfg.img_backbone.norm_eval,
+                              dtype=self.dtype, name="img_backbone")
+            feats = backbone(x, train=train)
+        stereo_inputs = None
+        if cfg.lss is not None and cfg.lss.stereo \
+                and batch.imgs_prev is not None:
+            # BEVStereo temporal-stereo depth: re-run the SHARED backbone on
+            # the previous keyframe; its stride-4 stage feeds the plane-sweep
+            # cost volume. Prev features enter under stop_gradient, like the
+            # reference's adjacent-frame convention (bevdepth.py:292).
+            assert cfg.img_backbone.type != "SwinTransformer", \
+                "stereo LSS expects the ResNet stride-4 stage as stereo feats"
+            assert 0 in cfg.img_backbone.out_indices
+            xp = batch.imgs_prev.reshape(B * N, H, W, 3)
+            feats_prev = backbone(xp, train=train)
+            stereo_inputs = dict(
+                key_stereo=feats[0],
+                sweep_stereo=jax.lax.stop_gradient(feats_prev[0]),
+                key_intrin=batch.intrins.reshape(B * N, 3, 3),
+                sweep_intrin=batch.intrins.reshape(B * N, 3, 3),
+                k2s_rot=batch.k2s_rots.reshape(B * N, 3, 3),
+                k2s_tran=batch.k2s_trans.reshape(B * N, 3))
         x = SECONDFPN(in_channels=cfg.img_neck.in_channels,
                       out_channels=cfg.img_neck.out_channels,
                       upsample_strides=cfg.img_neck.upsample_strides,
@@ -93,7 +117,8 @@ class CoOccRay(nn.Module):
         bev, depth_prob, geom = LSSViewTransformerVoxel(
             cfg=cfg, dtype=self.dtype, name="img_view_transformer")(
             x, batch.rots, batch.trans, batch.intrins, batch.post_rots,
-            batch.post_trans, batch.bda, mlp_input, train=train)
+            batch.post_trans, batch.bda, mlp_input, train=train,
+            stereo_inputs=stereo_inputs)
         return bev, depth_prob, img_feats, geom
 
     def _pts_voxels(self, batch: Batch, train: bool):

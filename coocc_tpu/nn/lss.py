@@ -27,25 +27,50 @@ class LSSViewTransformerVoxel(nn.Module):
 
     @nn.compact
     def __call__(self, x, rots, trans, intrins, post_rots, post_trans, bda,
-                 mlp_input, train: bool = False):
+                 mlp_input, train: bool = False, stereo_inputs=None):
         cfg = self.cfg
         lss = cfg.lss
         B, N, fH, fW, Cin = x.shape
         D = cfg.grid.num_depth_bins
 
-        out = DepthNet(
-            mid_channels=lss.numC_input,
-            context_channels=lss.numC_Trans,
-            depth_channels=D,
-            cam_channels=lss.cam_channels,
-            dtype=self.dtype,
-            name="depth_net",
-        )(x.reshape(B * N, fH, fW, Cin),
-          mlp_input.reshape(B * N, -1), train=train)
+        if stereo_inputs is not None:
+            # BEVStereo temporal-stereo depth (nn/lss_stereo.py): mono depth
+            # + plane-sweep cost volume against the previous keyframe's
+            # stride-4 features, EM-refined Gaussian hypotheses per range.
+            from .lss_stereo import LSSBEVStereo
+            img_feat, depth_prob = LSSBEVStereo(
+                mid_channels=lss.numC_input,
+                context_channels=lss.numC_Trans,
+                depth_channels=D,
+                dbound=cfg.grid.dbound,
+                num_ranges=lss.stereo_num_ranges,
+                range_list=lss.stereo_range_list,
+                em_iteration=lss.stereo_em_iteration,
+                num_samples=lss.stereo_num_samples,
+                num_groups=lss.stereo_num_groups,
+                stereo_downsample=lss.stereo_downsample,
+                downsample=lss.downsample,
+                dtype=self.dtype,
+                name="depth_net",
+            )(x.reshape(B * N, fH, fW, Cin),
+              stereo_inputs["sweep_stereo"], stereo_inputs["key_stereo"],
+              mlp_input.reshape(B * N, -1), stereo_inputs["key_intrin"],
+              stereo_inputs["sweep_intrin"], stereo_inputs["k2s_rot"],
+              stereo_inputs["k2s_tran"], train=train)
+        else:
+            out = DepthNet(
+                mid_channels=lss.numC_input,
+                context_channels=lss.numC_Trans,
+                depth_channels=D,
+                cam_channels=lss.cam_channels,
+                dtype=self.dtype,
+                name="depth_net",
+            )(x.reshape(B * N, fH, fW, Cin),
+              mlp_input.reshape(B * N, -1), train=train)
 
-        depth_logit = out[..., :D]
-        img_feat = out[..., D:D + lss.numC_Trans]
-        depth_prob = nn.softmax(depth_logit, axis=-1)
+            depth_logit = out[..., :D]
+            img_feat = out[..., D:D + lss.numC_Trans]
+            depth_prob = nn.softmax(depth_logit, axis=-1)
 
         frustum = jnp.asarray(
             create_frustum(cfg.data.input_size, lss.downsample,

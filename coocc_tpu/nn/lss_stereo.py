@@ -49,11 +49,19 @@ def depth_sampling_k_list(sampling_range: int = 3,
     P_total = erf(sampling_range / np.sqrt(2.0))
     idx = np.arange(0, num_samples + 1)
     p = (1 - P_total) / 2 + (idx / num_samples) * P_total
-    # inverse normal CDF via scipy-free rational approx is overkill here;
-    # use np.erfinv equivalent through jax.scipy? numpy lacks ppf — use
-    # the classic Acklam approximation via jax.scipy.special.ndtri on host
-    from jax.scipy.special import ndtri
-    k = np.asarray(ndtri(p))
+    # pure-host inverse normal CDF by bisection (a jax ndtri here would be
+    # STAGED when this runs under a jit trace, breaking np.asarray)
+    def ndtri_host(q):
+        lo, hi = -8.0, 8.0
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            if 0.5 * (1.0 + erf(mid / np.sqrt(2.0))) < q:
+                lo = mid
+            else:
+                hi = mid
+        return 0.5 * (lo + hi)
+
+    k = np.array([ndtri_host(float(q)) for q in p])
     return ((k[1:] + k[:-1]) / 2).astype(np.float32)
 
 
