@@ -106,8 +106,8 @@ def grid_sample_3d(vol, grid, *, align_corners=False, padding_mode="zeros"):
 
 
 def multicam_bilinear_gemm(imgs, grid, mask, *, align_corners=True,
-                           compute_dtype=None):
-    """Masked camera-sum of bilinear samples as ONE one-hot GEMM.
+                           compute_dtype=None, chunk=8192):
+    """Masked camera-sum of bilinear samples as one-hot GEMMs.
 
     Computes sum_cam mask[cam] * grid_sample_2d(imgs[cam], grid[cam]) with
     zeros padding, by folding the bilinear weights, out-of-bounds zeroing,
@@ -115,6 +115,14 @@ def multicam_bilinear_gemm(imgs, grid, mask, *, align_corners=True,
     multiplied with the flattened feature table. The tables here are tiny
     (stride-16 feature maps), so the MXU matmul replaces 4*N gather+lerp
     chains — measured 8.0 -> 0.53 ms at the r50 cascade shapes on v5e.
+
+    `chunk`: P rows per lax.map step. In a large surrounding graph XLA
+    MATERIALIZES the [P, N*H*W] one-hot matrix (1.3 GB at the flagship
+    cascade shapes — the whole img-sampling branch measured 8.8 ms inside
+    the real OccHead vs 0.9 ms isolated, tools/profile_head_real.py); the
+    chunked map keeps each step's one-hot block VMEM-resident so the
+    generator fuses into the dot regardless of context. chunk=None runs
+    the single-shot form.
 
     imgs: [N, H, W, C]; grid: [N, P, 2] (x, y) in [-1, 1]; mask: [N, P].
     Returns [P, C] (fp32 accumulated, cast to compute_dtype if given).
@@ -124,27 +132,42 @@ def multicam_bilinear_gemm(imgs, grid, mask, *, align_corners=True,
     N, H, W, C = imgs.shape
     P = grid.shape[1]
     cd = compute_dtype or imgs.dtype
-    ix = _unnormalize(grid[..., 0], W, align_corners).T  # [P, N]
-    iy = _unnormalize(grid[..., 1], H, align_corners).T
-    x0 = jnp.floor(ix).astype(jnp.int32)
-    y0 = jnp.floor(iy).astype(jnp.int32)
-    wx = (ix - x0).astype(cd)
-    wy = (iy - y0).astype(cd)
+    tab = imgs.reshape(N * H * W, C).astype(cd)
     xi = jnp.arange(W, dtype=jnp.int32)
     yi = jnp.arange(H, dtype=jnp.int32)
-    md = mask.T.astype(cd)  # [P, N]
-    # separable one-hot-of-2 rows; out-of-range corners simply never match
-    # the iota (== zeros padding)
-    wxr = ((xi == x0[..., None]).astype(cd) * (1 - wx)[..., None]
-           + (xi == (x0 + 1)[..., None]).astype(cd) * wx[..., None])
-    wyr = ((yi == y0[..., None]).astype(cd) * (1 - wy)[..., None]
-           + (yi == (y0 + 1)[..., None]).astype(cd) * wy[..., None])
-    wyr = wyr * md[..., None]
-    Wm = (wyr[..., :, None] * wxr[..., None, :]).reshape(P, N * H * W)
-    out = _jax.lax.dot_general(
-        Wm, imgs.reshape(N * H * W, C).astype(cd),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return out.astype(cd)
+
+    def block(grid_b, mask_b):
+        ix = _unnormalize(grid_b[..., 0], W, align_corners).T  # [p, N]
+        iy = _unnormalize(grid_b[..., 1], H, align_corners).T
+        x0 = jnp.floor(ix).astype(jnp.int32)
+        y0 = jnp.floor(iy).astype(jnp.int32)
+        wx = (ix - x0).astype(cd)
+        wy = (iy - y0).astype(cd)
+        md = mask_b.T.astype(cd)  # [p, N]
+        # separable one-hot-of-2 rows; out-of-range corners simply never
+        # match the iota (== zeros padding)
+        wxr = ((xi == x0[..., None]).astype(cd) * (1 - wx)[..., None]
+               + (xi == (x0 + 1)[..., None]).astype(cd) * wx[..., None])
+        wyr = ((yi == y0[..., None]).astype(cd) * (1 - wy)[..., None]
+               + (yi == (y0 + 1)[..., None]).astype(cd) * wy[..., None])
+        wyr = wyr * md[..., None]
+        Wm = (wyr[..., :, None] * wxr[..., None, :]).reshape(
+            grid_b.shape[1], N * H * W)
+        return _jax.lax.dot_general(
+            Wm, tab, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if not chunk or P <= chunk:
+        return block(grid, mask).astype(cd)
+
+    nch = -(-P // chunk)
+    pad = nch * chunk - P
+    gp = jnp.pad(grid, ((0, 0), (0, pad), (0, 0)))
+    mp = jnp.pad(mask, ((0, 0), (0, pad)))
+    gp = jnp.moveaxis(gp.reshape(N, nch, chunk, 2), 1, 0)
+    mp = jnp.moveaxis(mp.reshape(N, nch, chunk), 1, 0)
+    out = _jax.lax.map(lambda ab: block(*ab), (gp, mp))
+    return out.reshape(nch * chunk, -1)[:P].astype(cd)
 
 
 def cascade_sample_3d(vol_xyz, coarse, ratio, final_size, *,
