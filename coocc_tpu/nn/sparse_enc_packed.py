@@ -149,6 +149,40 @@ def _conv2d(x, w, stride=1):
                          ((1, 1), (1, 1)))
 
 
+def _s2d_nhwc(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4*C], channel order (r, s, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
+
+
+def _s2d_strided_conv(x, w):
+    """3x3 stride-2 pad-1 conv computed on the factor-2 space-to-depth of x.
+
+    The stride-2 form runs at ~20 TFLOP/s on v5e at the encoder-stem shapes
+    (XLA's strided-conv lowering); the equivalent stride-1 2x2 conv over s2d
+    cells runs the MXU dense. out(i) reads rows {2i-1, 2i, 2i+1} = s2d cells
+    {i-1 (phase 1), i (phase 0), i (phase 1)}, so tap u maps to (cell a,
+    phase r) = (0,1), (1,0), (1,1) for u = 0, 1, 2 — phase (a=0, r=0) stays
+    zero. Exact (same tap weights, reassociated).
+
+    x: [B, H, W, C] (H, W even); w: [3, 3, C, Co]. Returns [B,H/2,W/2,Co].
+    """
+    from ..ops.conv_acc import conv2d_f32acc
+    C, Co = w.shape[2], w.shape[3]
+    ar = ((0, 1), (1, 0), (1, 1))  # tap u -> (cell a, phase r)
+    w2 = jnp.zeros((2, 2, 4 * C, Co), w.dtype)
+    for u in range(3):
+        a, r = ar[u]
+        for v in range(3):
+            b, s = ar[v]
+            c0 = (r * 2 + s) * C
+            w2 = w2.at[a, b, c0:c0 + C].add(w[u, v])
+    xs = _s2d_nhwc(x)
+    return conv2d_f32acc(xs, w2.astype(x.dtype), (1, 1), ((1, 0), (1, 0)))
+
+
 # ---------------------------------------------------------------------------
 # layout helpers
 # ---------------------------------------------------------------------------
@@ -626,10 +660,18 @@ class PackedLiDAREnc8x(nn.Module):
         lane_major = mode != "packed" or p_in != 2 * p1
         down_lane_major = mode == "lm"
         if lane_major:
-            # legacy form: ONE stride-2 conv2d with the z taps unrolled
-            # into [3, 3, Z0, Z1*C1] lanes (>90% structural zeros)
-            d_lm = _conv2d(mask0f, _strided_weight(w_eff, Z0), 2).astype(cd)
-            cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
+            # ONE stride-2-equivalent conv2d with the z taps unrolled into
+            # [3, 3, Z0, Z1*C1] lanes (>90% structural zeros). Computed via
+            # space-to-depth by default: the strided lowering measured
+            # ~20 TFLOP/s on v5e, the s2d stride-1 form keeps the MXU dense
+            # (COOCC_S2D_STEM3D=0 reverts to the plain strided conv).
+            w_lm = _strided_weight(w_eff, Z0)
+            if os.environ.get("COOCC_S2D_STEM3D", "1") not in ("0", "off"):
+                d_lm = _s2d_strided_conv(mask0f, w_lm).astype(cd)
+                cnt = _s2d_strided_conv(mask0f, _dilate_weight(Z0, cd))
+            else:
+                d_lm = _conv2d(mask0f, w_lm, 2).astype(cd)
+                cnt = _conv2d(mask0f, _dilate_weight(Z0, cd), 2)
             mask1_lm = cnt > 0.5  # [B, X1, Y1, Z1]
             d = _lm_to_pb(d_lm, Z1, C1, p1)
             m1 = _mask_pb(mask1_lm, p1)
