@@ -82,7 +82,9 @@ class LSSViewTransformerVoxel(nn.Module):
                                cfg.grid.zbound)
         # [BN, fH, fW, D] -> [B, N, D, fH, fW]
         dp = depth_prob.reshape(B, N, fH, fW, D).transpose(0, 1, 4, 2, 3)
+        # feats stay in model dtype; the splat gathers them natively and
+        # upcasts after the gather (identical values, half the traffic)
         bev = lift_splat(dp.astype(jnp.float32),
-                         img_feat.reshape(B, N, fH, fW, -1).astype(jnp.float32),
+                         img_feat.reshape(B, N, fH, fW, -1),
                          geom, dx, bx, nx)
         return bev.astype(x.dtype), depth_prob.reshape(B, N, fH, fW, D), geom

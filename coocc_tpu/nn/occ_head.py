@@ -54,6 +54,39 @@ class _LinearParams(nn.Module):
         return _LinearParams._Inner(self.features, name="linear")(cin)
 
 
+class _GNParams(nn.Module):
+    """Bare scale/bias with GroupNorm's exact tree (<name>/gn/{scale,bias}).
+
+    Lets the cascade tail run inside lax.map chunks (flax modules cannot be
+    called under jax control flow) with a pure group-norm that mirrors
+    flax.linen.GroupNorm's fast-variance fp32 math.
+    """
+    features: int
+
+    class _Inner(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self):
+            s = self.param("scale", nn.initializers.ones, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            return s, b
+
+    @nn.compact
+    def __call__(self):
+        return _GNParams._Inner(self.features, name="gn")()
+
+
+def _group_norm(x, scale, bias, num_groups, eps=1e-5):
+    """Pure twin of layers.GroupNorm on [P, C] rows (fp32 stats)."""
+    P, C = x.shape
+    g = x.astype(jnp.float32).reshape(P, num_groups, C // num_groups)
+    mean = g.mean(-1, keepdims=True)
+    var = (g * g).mean(-1, keepdims=True) - mean * mean
+    y = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(P, C)
+    return y * scale[None] + bias[None]
+
+
 class _OccConv(nn.Module):
     mid: int
     dtype: Any = None
@@ -247,20 +280,23 @@ class OccHead(nn.Module):
         else:
             imf = None
 
-        # instantiate shared submodules once; the per-sample loop below calls
-        # the same instances (linen shares their params across calls).
-        # fc weights are FOLDED INTO THE SAMPLED TABLES (see _LinearParams):
-        # the gathers then move 64-dim instead of 128-dim rows.
+        # instantiate shared param holders once; the per-sample loop below
+        # reuses them. fc weights are FOLDED INTO THE SAMPLED TABLES (see
+        # _LinearParams): the gathers then move 64-dim instead of 128-dim
+        # rows. The whole fine pipeline runs as a lax.map over coarse-cell
+        # chunks so every intermediate ([chunk, 64] samples, one-hot GEMM
+        # blocks, GN/MLP activations) stays VMEM-resident — XLA materialized
+        # them at full capacity inside the big graph otherwise
+        # (tools/profile_head_real.py).
         cd = self.dtype or jnp.float32
         Cvox = blended.shape[-1] if cfg.sample_from_voxel else 0
         Cimg = 64 if (cfg.sample_from_img and imf is not None) else 0
         k1, b1 = _LinearParams(64, name="fine_mlp_fc1")(Cvox + Cimg)
-        fine_gn = GroupNorm(16, name="fine_mlp_gn")
-        fine_fc2 = Linear(cfg.out_channel, dtype=self.dtype,
-                          name="fine_mlp_fc2")
+        gn_s, gn_b = _GNParams(64, name="fine_mlp_gn")()
+        k2, b2 = _LinearParams(cfg.out_channel, name="fine_mlp_fc2")(64)
         if Cimg:
             kf, bf = _LinearParams(64, name="img_mlp_fc")(imf.shape[-1])
-            img_mlp_gn = GroupNorm(16, name="img_mlp_gn")
+            ign_s, ign_b = _GNParams(64, name="img_mlp_gn")()
             # pre-transform the per-cam tables: sample(T @ W) == sample(T) @ W
             imf = jnp.einsum("bnhwc,cd->bnhwd", imf, kf.astype(cd))
         if Cvox:
@@ -269,34 +305,52 @@ class OccHead(nn.Module):
 
         occ_mask = jnp.argmax(logits, axis=-1) != cfg.empty_idx  # [B, X, Y, Z]
 
+        CH = 1000  # coarse cells per chunk (x r^3 fine rows)
+
         def per_sample(args):
             (mask_b, blended_b, imf_b, tr_b, rng_b) = args
             coords, valid = select_occupied(mask_b, cap, rng_b)
-            fine = fine_coordinates(coords, ratio)  # [cap*r^3, 3]
             fvalid = jnp.repeat(valid, ratio ** 3)
-            acc = b1.astype(jnp.float32)
-            if cfg.sample_from_voxel:
-                # windowed batched-GEMM twin of trilinear grid_sample over
-                # the children (see ops.grid_sample.cascade_sample_3d)
-                sampled = cascade_sample_3d(
-                    blended_b, coords, ratio, (W_occ, H_occ, D_occ),
-                    compute_dtype=cd)
-                acc = acc + sampled.astype(jnp.float32)
-            if Cimg:
-                rots, trans, intrins, post_rots, post_trans, bda = tr_b
-                uv, m = project_points_on_img(
-                    fine.astype(jnp.float32), rots, trans, intrins,
-                    post_rots, post_trans, bda,
-                    pts_range=cfg.point_cloud_range, img_hw=cfg.input_size,
-                    occ_whd=(W_occ, H_occ, D_occ),
-                    data_type=cfg.data_type)
-                s = multicam_bilinear_gemm(
-                    imf_b, uv, m, align_corners=True,
-                    compute_dtype=cd) + bf.astype(cd)  # [P, 64]
-                s = nn.relu(img_mlp_gn(s))
-                acc = acc + (s @ k1[Cvox:].astype(cd)).astype(jnp.float32)
-            x = nn.relu(fine_gn(acc))
-            x = fine_fc2(x)
+
+            def chunk_fn(coords_c):
+                fine_c = fine_coordinates(coords_c, ratio)  # [CH*r^3, 3]
+                acc = jnp.broadcast_to(
+                    b1.astype(jnp.float32),
+                    (fine_c.shape[0], b1.shape[0])).astype(jnp.float32)
+                if cfg.sample_from_voxel:
+                    # windowed batched-GEMM twin of trilinear grid_sample
+                    # over the children (ops.grid_sample.cascade_sample_3d)
+                    sampled = cascade_sample_3d(
+                        blended_b, coords_c, ratio, (W_occ, H_occ, D_occ),
+                        compute_dtype=cd)
+                    acc = acc + sampled.astype(jnp.float32)
+                if Cimg:
+                    rots, trans, intrins, post_rots, post_trans, bda = tr_b
+                    uv, m = project_points_on_img(
+                        fine_c.astype(jnp.float32), rots, trans, intrins,
+                        post_rots, post_trans, bda,
+                        pts_range=cfg.point_cloud_range,
+                        img_hw=cfg.input_size,
+                        occ_whd=(W_occ, H_occ, D_occ),
+                        data_type=cfg.data_type)
+                    s = multicam_bilinear_gemm(
+                        imf_b, uv, m, align_corners=True,
+                        compute_dtype=cd, chunk=None) \
+                        + bf.astype(cd)  # [CH*r^3, 64]
+                    s = nn.relu(_group_norm(s, ign_s, ign_b, 16)).astype(cd)
+                    acc = acc + (s @ k1[Cvox:].astype(cd)).astype(jnp.float32)
+                x = nn.relu(_group_norm(acc, gn_s, gn_b, 16))
+                return (x @ k2.astype(jnp.float32)
+                        + b2.astype(jnp.float32)), fine_c
+
+            if cap % CH == 0:
+                nch = cap // CH
+                xs, fines = jax.lax.map(
+                    chunk_fn, coords.reshape(nch, CH, 3))
+                x = xs.reshape(cap * ratio ** 3, -1)
+                fine = fines.reshape(cap * ratio ** 3, 3)
+            else:
+                x, fine = chunk_fn(coords)
             return x, fine, fvalid
 
         # vmap over batch with shared params: use nn.vmap-free manual loop
