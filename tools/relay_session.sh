@@ -1,5 +1,5 @@
 #!/bin/bash
-# Unattended TPU measurement sequence for when the axon relay recovers.
+# Unattended TPU measurement sequence (round 3: SubM A/B + evidence table).
 # Serialized (1-core host); never kills a client mid-compile.
 set -u
 cd "$(dirname "$0")/.."
@@ -23,39 +23,32 @@ done
 
 echo "=== relay alive $(date)" >> $LOG
 
-# 2. Pallas SubM A/B (fastest to compile, biggest single lever)
-python tools/perf_session11.py >> $LOG 2>&1
-echo "=== ps11 done $(date)" >> $LOG
-
-# 2b. Pallas window-KNN A/B (fuser hotspot)
-python tools/perf_session12.py >> $LOG 2>&1
-echo "=== ps12 done $(date)" >> $LOG
-
-# 2c. packed-strided vs lane-major A/B
-python tools/perf_session13.py >> $LOG 2>&1
-echo "=== ps13 done $(date)" >> $LOG
-
-# 3. encoder ztap A/B + image/semantic breakdowns
-python tools/perf_session.py >> $LOG 2>&1
-echo "=== perf_session done $(date)" >> $LOG
-
-# 4. fresh per-stage breakdown at HEAD (fuser/semantic opts unmeasured)
-python tools/profile_stages.py >> $LOG 2>&1
-echo "=== profile_stages done $(date)" >> $LOG
-
-# 5. bench: default flags
+# 2. bench at HEAD defaults (confirm the committed 9.63)
 python bench.py > /tmp/bench_default.json 2>> $LOG
 echo "=== bench default done $(date)" >> $LOG
 cat /tmp/bench_default.json >> $LOG
 
-# 6. bench: all gated candidates on (component A/Bs above explain deltas)
-BENCH_ZTAP=1,2 COOCC_PALLAS_SUBM=1 COOCC_PALLAS_KNN=1 COOCC_S2D_STEM=1 \
-  python bench.py > /tmp/bench_candidates.json 2>> $LOG
-echo "=== bench candidates done $(date)" >> $LOG
-cat /tmp/bench_candidates.json >> $LOG
+# 3. Pallas SubM A/B (post-Mosaic-fix; biggest single lever at res1)
+COOCC_PALLAS_SUBM=1 python bench.py > /tmp/bench_subm.json 2>> $LOG
+echo "=== bench subm done $(date)" >> $LOG
+cat /tmp/bench_subm.json >> $LOG
 
-# 7. render rays/sec (BASELINE metric axis)
-python tools/bench_render.py >> $LOG 2>&1
+# 4. batch cross-check (VERDICT weak #5: methodology evidence)
+BENCH_BATCH=2 python bench.py > /tmp/bench_b2.json 2>> $LOG
+echo "=== bench B=2 done $(date)" >> $LOG
+cat /tmp/bench_b2.json >> $LOG
+
+# 5. render rays/sec (BASELINE metric axis)
+python tools/bench_render.py > /tmp/bench_render.json 2>> $LOG
 echo "=== bench_render done $(date)" >> $LOG
+cat /tmp/bench_render.json >> $LOG
+
+# 6. train-step wall clock, tiny probe first then flagship
+python tools/bench_train.py --config tiny > /tmp/bench_train_tiny.json 2>> $LOG
+echo "=== bench_train tiny done $(date)" >> $LOG
+cat /tmp/bench_train_tiny.json >> $LOG
+python tools/bench_train.py > /tmp/bench_train.json 2>> $LOG
+echo "=== bench_train flagship done $(date)" >> $LOG
+cat /tmp/bench_train.json >> $LOG
 
 echo "=== relay session complete $(date)" >> $LOG
