@@ -266,6 +266,79 @@ def format_results(cls_pred, mask_pred):
 # assigners/mask_hungarian_assigner.py + losses/dice_loss.py + loss_single)
 # ---------------------------------------------------------------------------
 
+def forward_lidarseg(cls_pred, mask_pred, points, *, pc_range,
+                     padding_mode="border", point_labels=None,
+                     num_classes=17):
+    """Per-point class probabilities by trilinear sampling of the composed
+    occupancy volume (reference mask2former_nusc_occ.py:505-542).
+
+    Args:
+      cls_pred:  [B, Q, num_classes+1] logits (last decoder layer).
+      mask_pred: [B, Q, X, Y, Z] logits.
+      points:    list of [Ni, >=3] arrays, xyz in world metres.
+      pc_range:  (xmin, ymin, zmin, xmax, ymax, zmax).
+      point_labels: optional list of [Ni] int labels; when given, returns
+        a {'point_mean_iou': float} dict like the reference training path.
+
+    Returns concat softmax probs [sum(Ni), num_classes] (eval path) or the
+    mean-IoU dict (training path), matching the reference's split.
+    """
+    vol = format_results(cls_pred, mask_pred)        # [B, X, Y, Z, C]
+    lo = jnp.asarray(pc_range[:3], jnp.float32)
+    span = jnp.asarray(pc_range[3:], jnp.float32) - lo
+
+    from coocc_tpu.ops.grid_sample import grid_sample_3d
+    logits = []
+    for b, pts in enumerate(points):
+        p = (jnp.asarray(pts)[:, :3].astype(jnp.float32) - lo) / span * 2 - 1
+        # vol[b] is [X, Y, Z, C]: grid x-coord indexes the innermost (Z)
+        # axis, so feed (z, y, x) — the reference's [..., [2, 1, 0]] swap.
+        grid = p[:, ::-1]
+        logits.append(grid_sample_3d(vol[b], grid, align_corners=True,
+                                     padding_mode=padding_mode))
+    point_logits = jnp.concatenate(logits, 0)        # [N, C]
+
+    if point_labels is not None:
+        # reference :528-540 — lidarseg mIoU over classes 1..16
+        pred = np.asarray(jnp.argmax(point_logits[:, 1:], -1)) + 1
+        gt = np.concatenate([np.asarray(l) for l in point_labels]).astype(
+            np.int64)
+        k = (gt >= 0) & (gt < num_classes)
+        hist = np.bincount(num_classes * gt[k] + pred[k],
+                           minlength=num_classes ** 2
+                           ).reshape(num_classes, num_classes)
+        hist = hist[1:, 1:]
+        denom = hist.sum(1) + hist.sum(0) - np.diag(hist)
+        iu = np.where(denom > 0, np.diag(hist) / np.maximum(denom, 1),
+                      np.nan)
+        return {"point_mean_iou": float(np.nanmean(iu))}
+    return jax.nn.softmax(point_logits, -1)
+
+
+def mask2former_occ_loss_all_layers(cls_preds, mask_preds, gt_occ, *,
+                                    num_classes, ignore_index=255,
+                                    bg_weight=0.1):
+    """Deep supervision over every decoder stage (reference
+    mask2former_nusc_occ.py:275-322): the last layer's losses keep the
+    plain names, earlier stages get ``d{i}.``-prefixed aux entries, and
+    ``loss_total`` sums everything (the reference's optimizer sums the
+    dict values)."""
+    out = {}
+    total = 0.0
+    n_stage = len(cls_preds)
+    for i in range(n_stage):
+        li = mask2former_occ_loss(cls_preds[i], mask_preds[i], gt_occ,
+                                  num_classes=num_classes,
+                                  ignore_index=ignore_index,
+                                  bg_weight=bg_weight)
+        prefix = "" if i == n_stage - 1 else f"d{i}."
+        for k, v in li.items():
+            out[prefix + k] = v
+            total = total + v
+    out["loss_total"] = total
+    return out
+
+
 def _dice(p, g, eps=1e-3):
     num = 2.0 * (p * g).sum(-1)
     den = p.sum(-1) + g.sum(-1)

@@ -99,3 +99,65 @@ def test_format_panoptic_results(rng):
     assert pan[0, 1, 1, 0] == 2000          # stuff: label*1000
     thing_ids = {int(pan[0, 0, 0, 0]), int(pan[0, 1, 0, 0])}
     assert all(1000 < i < 2000 for i in thing_ids) and len(thing_ids) == 2
+
+
+def test_forward_lidarseg_matches_torch_grid_sample():
+    """Point sampling parity vs torch's 5-D grid_sample with the reference's
+    coordinate swap (mask2former_nusc_occ.py:505-526)."""
+    import torch
+    import torch.nn.functional as F
+    from coocc_tpu.nn.mask2former_occ import forward_lidarseg, format_results
+
+    rng = np.random.RandomState(0)
+    B, Q, X, Y, Z, NC = 1, 4, 5, 6, 7, 3
+    cls = rng.randn(B, Q, NC + 1).astype(np.float32)
+    mask = rng.randn(B, Q, X, Y, Z).astype(np.float32)
+    pc_range = (-10.0, -8.0, -2.0, 10.0, 8.0, 4.0)
+    pts = rng.uniform(-11, 11, size=(50, 4)).astype(np.float32)
+
+    probs = np.asarray(forward_lidarseg(
+        jnp.asarray(cls), jnp.asarray(mask), [pts], pc_range=pc_range))
+    assert probs.shape == (50, NC)
+
+    # torch oracle: format volume [B, C, X, Y, Z], grid (z, y, x) swap
+    vol = np.asarray(format_results(jnp.asarray(cls), jnp.asarray(mask)))
+    tvol = torch.from_numpy(vol).permute(0, 4, 1, 2, 3)
+    lo = np.asarray(pc_range[:3], np.float32)
+    span = np.asarray(pc_range[3:], np.float32) - lo
+    g = (pts[:, :3] - lo) / span * 2 - 1
+    tg = torch.from_numpy(g[:, ::-1].copy()).view(1, 1, 1, -1, 3)
+    ref = F.grid_sample(tvol, tg, mode="bilinear", padding_mode="border",
+                        align_corners=True)[0, :, 0, 0].T
+    ref = torch.softmax(ref, dim=1).numpy()
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-5)
+
+    # training path: labels -> scalar mIoU dict
+    labels = rng.randint(0, NC, size=(50,))
+    out = forward_lidarseg(jnp.asarray(cls), jnp.asarray(mask), [pts],
+                           pc_range=pc_range, point_labels=[labels],
+                           num_classes=NC)
+    assert set(out) == {"point_mean_iou"} and np.isfinite(
+        out["point_mean_iou"])
+
+
+def test_all_layer_loss_aggregation():
+    from coocc_tpu.nn.mask2former_occ import (mask2former_occ_loss,
+                                              mask2former_occ_loss_all_layers)
+    rng = np.random.RandomState(1)
+    B, Q, X, Y, Z, NC = 1, 5, 4, 4, 2, 3
+    stages = [(rng.randn(B, Q, NC + 1).astype(np.float32),
+               rng.randn(B, Q, X, Y, Z).astype(np.float32))
+              for _ in range(3)]
+    gt = rng.randint(0, NC, size=(B, X, Y, Z)).astype(np.int64)
+    gt[0, 0, 0, 0] = 255
+    out = mask2former_occ_loss_all_layers(
+        [c for c, _ in stages], [m for _, m in stages], gt, num_classes=NC)
+    # last stage keeps plain names, earlier stages are d{i}.-prefixed
+    assert {"loss_cls", "loss_mask", "loss_dice", "loss_total"} <= set(out)
+    assert "d0.loss_cls" in out and "d1.loss_dice" in out
+    last = mask2former_occ_loss(stages[-1][0], stages[-1][1], gt,
+                                num_classes=NC)
+    for k, v in last.items():
+        np.testing.assert_allclose(float(out[k]), float(v), rtol=1e-6)
+    total = sum(float(v) for k, v in out.items() if k != "loss_total")
+    np.testing.assert_allclose(float(out["loss_total"]), total, rtol=1e-5)
