@@ -122,6 +122,39 @@ def _zslice_tap_conv(xc, w, pads, stride, groups):
     return out
 
 
+def _ztap_cat_conv(xc, w, pads, stride, groups):
+    """ONE conv2d for the whole 3D kernel: z taps concatenated into lanes.
+
+    xc: z-batched [B, Z, X, Y, C]. The kz z-taps are sliced on the input
+    side (like _zslice_tap_conv) but CONCATENATED along channels instead of
+    summed across kz separate conv2ds, so XLA sees a single implicit GEMM
+    with K = kx*ky*kz*C. Measured on v5e at the fuser-tail shapes
+    (100x100x8, 512->256->128): 8.76 ms (zslice, 81 TF/s) -> 1.97 ms
+    (358 TF/s, 91% of bf16 peak). Exact same math — the weight reshape
+    [kx,ky,kz,Ci,Co] -> [kx,ky,kz*Ci,Co] matches the tap-major concat.
+
+    Requires groups == 1 (lane concat breaks group structure); callers
+    fall back to _zslice_tap_conv otherwise. Returns fp32.
+    """
+    import jax
+
+    sx, sy, sz = stride
+    plo, phi = pads[2]
+    kx, ky, kz, Ci, Co = w.shape
+    B, Z, X, Y, C = xc.shape
+    Zout = (Z + plo + phi - kz) // sz + 1
+    xp = jnp.pad(xc, ((0, 0), (plo, phi), (0, 0), (0, 0), (0, 0)))
+    slabs = [
+        jax.lax.slice_in_dim(xp, dz, dz + (Zout - 1) * sz + 1, sz, axis=1)
+        for dz in range(kz)
+    ]
+    cat = jnp.concatenate(slabs, axis=-1)          # [B, Zout, X, Y, kz*C]
+    y = conv2d_f32acc(cat.reshape(B * Zout, X, Y, kz * C),
+                      w.reshape(kx, ky, kz * Ci, Co),
+                      (sx, sy), (pads[0], pads[1]), 1)
+    return y.reshape(B, Zout, y.shape[1], y.shape[2], Co)
+
+
 class _Conv3dParams(nn.Module):
     """Param holder with nn.Conv's exact tree (kernel [kx,ky,kz,Ci,Co], bias)."""
     features: int
@@ -204,6 +237,8 @@ class Conv3d(nn.Module):
             out = out.reshape(B, Zout, out.shape[1], out.shape[2], -1)
         elif os.environ.get("COOCC_ZPAD_STACK"):
             out = self._zpad_stack(xc, w, pads)
+        elif self.groups == 1 and not os.environ.get("COOCC_ZSLICE_TAP"):
+            out = _ztap_cat_conv(xc, w, pads, self.stride, self.groups)
         else:
             out = _zslice_tap_conv(xc, w, pads, self.stride, self.groups)
         out = out.astype(cd)
@@ -250,6 +285,8 @@ class Conv3d(nn.Module):
         w = kernel.astype(cd)
         if os.environ.get("COOCC_ZPAD_STACK"):
             out = self._zpad_stack(xc, w, pads)
+        elif not os.environ.get("COOCC_ZSLICE_TAP"):
+            out = _ztap_cat_conv(xc, w, pads, self.stride, 1)
         else:
             out = _zslice_tap_conv(xc, w, pads, self.stride, 1)
         out = out.astype(cd)
