@@ -125,8 +125,13 @@ def synthetic_batch(cfg: CoOccConfig, batch_size: int = 1, seed: int = 0):
         kw["post_trans"] = np.zeros((B, N, 3), np.float32)
         kw["bda"] = np.broadcast_to(np.eye(3, dtype=np.float32),
                                     (B, 3, 3)).copy()
-        depth = rng.uniform(0, cfg.grid.dbound[1], (B, N, H, W))
-        depth = depth * (rng.rand(B, N, H, W) > 0.5)  # sparse LiDAR depth
+        # z-buffer-like sparse LiDAR depth: ~2% pixel density with values
+        # inside [d0, d1) so the downsampled patch-min lands in the depth-bin
+        # range and the depth losses see real foreground (a dense near-zero
+        # map makes every patch-min fall below d0 -> loss_depth == 0)
+        depth = rng.uniform(cfg.grid.dbound[0], cfg.grid.dbound[1],
+                            (B, N, H, W))
+        depth = depth * (rng.rand(B, N, H, W) > 0.98)
         kw["gt_depths"] = depth.astype(np.float32)
         if cfg.lss is not None and cfg.lss.stereo:
             # previous keyframe: same ring, small forward ego motion
@@ -165,8 +170,9 @@ def synthetic_batch(cfg: CoOccConfig, batch_size: int = 1, seed: int = 0):
         kw["post_trans"] = np.zeros((B, N, 3), np.float32)
         kw["bda"] = np.broadcast_to(np.eye(3, dtype=np.float32),
                                     (B, 3, 3)).copy()
-        depth = rng.uniform(0, cfg.grid.dbound[1], (B, N, H, W))
-        depth = depth * (rng.rand(B, N, H, W) > 0.5)
+        depth = rng.uniform(cfg.grid.dbound[0], cfg.grid.dbound[1],
+                            (B, N, H, W))
+        depth = depth * (rng.rand(B, N, H, W) > 0.98)
         kw["gt_depths"] = depth.astype(np.float32)
 
     if cfg.use_lidar:

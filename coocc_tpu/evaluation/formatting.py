@@ -39,6 +39,10 @@ def format_ssc_table(metrics: Dict, class_names: Sequence[str]) -> List[str]:
             val = "  nan" if iou is None or np.isnan(iou) else f"{iou * 100:6.2f}"
             lines.append(f"  {name:<22s} {val}")
     lines.append(f"  {'mIoU (1..C-1)':<22s} {metrics['SSC_mIoU'] * 100:6.2f}")
+    if "render_PSNR" in metrics:
+        lines.append("=== Rendering (test_rendering) ===")
+        lines.append(f"  PSNR:      {metrics['render_PSNR']:6.2f} dB")
+        lines.append(f"  SSIM:      {metrics['render_SSIM']:6.4f}")
     return lines
 
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config.base import CoOccConfig
 from ..config.nuscenes import class_weights as nusc_class_weights
-from ..losses.depth import bce_depth_loss
+from ..losses.depth import bce_depth_loss, kld_depth_loss
 from ..losses.gt_pool import mode_pool_gt
 from ..losses.lovasz import lovasz_softmax
 from ..losses.ssc import ce_ssc_loss, geo_scal_loss, sem_scal_loss
@@ -93,7 +93,11 @@ def compute_losses(outs, batch, cfg: CoOccConfig) -> Dict[str, jnp.ndarray]:
     losses: Dict[str, jnp.ndarray] = {}
 
     if outs.get("depth_prob") is not None and batch.gt_depths is not None:
-        losses["loss_depth"] = cfg.lss.loss_depth_weight * bce_depth_loss(
+        # bce|kld dispatch mirrors get_depth_loss
+        # (ViewTransformerLSSVoxel.py:89-100, constant_std=0.5 at :30)
+        depth_fn = {"bce": bce_depth_loss, "kld": kld_depth_loss}[
+            cfg.lss.loss_depth_type]
+        losses["loss_depth"] = cfg.lss.loss_depth_weight * depth_fn(
             outs["depth_prob"], batch.gt_depths, cfg.lss.downsample,
             cfg.grid.dbound)
 

@@ -118,6 +118,13 @@ def make_eval_step(model, cfg: CoOccConfig, mesh=None, return_logits=True):
                 extra_mask=batch.visible_mask)
             res["SC_hist_visible"] = sc_v
             res["SSC_hist_visible"] = ssc_v
+        if "render_depth" in outs:
+            # test-rendering path (cfg.render.test_rendering=True): expose
+            # the rendered maps so the host can compute PSNR/SSIM and dump
+            # side-by-sides (reference: coocc_ray.py:562-637)
+            res["render_depth"] = outs["render_depth"]
+            if outs.get("render_rgb") is not None:
+                res["render_rgb"] = outs["render_rgb"]
         if return_logits:
             res["occ_logits"] = outs["occ"]
         if "fine_overflow" in outs:

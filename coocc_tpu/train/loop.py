@@ -39,10 +39,17 @@ def _all_proc_sum(hist: np.ndarray) -> np.ndarray:
 
 def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
              mesh=None, max_steps: Optional[int] = None,
-             eval_step=None) -> Dict[str, float]:
+             eval_step=None, render_dir: Optional[str] = None
+             ) -> Dict[str, float]:
     """Run eval over data_iter. Pass a prebuilt `eval_step` (from
     make_eval_step) to avoid re-jitting the model on every call — the
-    epoch loop does."""
+    epoch loop does.
+
+    When the model emits rendered maps (cfg.render.test_rendering=True),
+    the host computes PSNR/SSIM vs the input images and, with render_dir
+    set, dumps [render | gt | depth] side-by-sides per view — the
+    reference's test_rendering path (coocc_ray.py:562-637,
+    utils/save_rendered_img.py:10-82)."""
     if eval_step is None:
         eval_step = make_eval_step(model, cfg, mesh=mesh,
                                    return_logits=False)
@@ -56,12 +63,30 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
     have_fine = have_lseg = have_vis = False
     n = 0
     overflow = 0
+    psnrs, ssims = [], []
     for batch in data_iter:
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         out = eval_step(variables, batch)
         sc += np.asarray(out["SC_hist"])
         ssc += np.asarray(out["SSC_hist"])
+        if "render_rgb" in out and batch.imgs is not None:
+            from ..evaluation.render_metrics import (compute_psnr,
+                                                     compute_ssim,
+                                                     save_rendered_img)
+            rgb = np.asarray(out["render_rgb"], np.float32)
+            dep = np.asarray(out["render_depth"], np.float32)
+            gt = np.asarray(batch.imgs, np.float32)
+            for b in range(rgb.shape[0]):
+                for v in range(rgb.shape[1]):
+                    psnrs.append(compute_psnr(rgb[b, v], gt[b, v]))
+                    ssims.append(compute_ssim(rgb[b, v], gt[b, v]))
+                    if render_dir is not None:
+                        import os
+                        save_rendered_img(
+                            rgb[b, v], gt[b, v], dep[b, v],
+                            os.path.join(render_dir,
+                                         f"render_{n}_{b}_cam{v}.png"))
         if "fine_overflow" in out:
             overflow = max(overflow, int(np.max(out["fine_overflow"])))
         if "SSC_hist_fine" in out:
@@ -101,6 +126,9 @@ def evaluate(model, variables, cfg: CoOccConfig, data_iter: Iterable,
     if have_lseg:
         from ..evaluation.formatting import cm_to_ious
         summary["lidarseg_mIoU"] = float(np.nanmean(cm_to_ious(lseg)[1:]))
+    if psnrs:
+        summary["render_PSNR"] = float(np.mean(psnrs))
+        summary["render_SSIM"] = float(np.mean(ssims))
     return summary
 
 

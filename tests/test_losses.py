@@ -173,3 +173,76 @@ def test_depth_loss_matches_torch(rng):
 
     got = float(bce_depth_loss(jnp.asarray(prob), jnp.asarray(gt), ds, dbound))
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_kld_depth_loss_matches_torch(rng):
+    """Oracle: torch transcription of get_klv_depth_loss +
+    generate_guassian_depth_target (ViewTransformerLSSVoxel.py:73-87,
+    utils/gaussian.py:92-135, constant_std branch)."""
+    from coocc_tpu.losses.depth import kld_depth_loss
+
+    B, N, H, W, ds = 1, 2, 16, 16, 4
+    d0, d1, step = 1.0, 5.0, 0.5
+    D = int((d1 - d0) / step)  # 8
+    std = 0.5
+    gt = rng.uniform(0, 6, (B, N, H, W)).astype(np.float32)
+    gt *= (rng.rand(B, N, H, W) > 0.4)
+    prob = rng.rand(B, N, H // ds, W // ds, D).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+
+    # ---- torch oracle ----
+    depth = torch.from_numpy(gt).flatten(0, 1)
+    Bn, tH, tW = depth.shape
+    h, w = tH // ds, tW // ds
+    unfold = F.unfold(depth.unsqueeze(1), ds, dilation=1, padding=0,
+                      stride=ds).view(Bn, -1, h, w).permute(0, 2, 3, 1)
+    unfold = unfold.contiguous()
+    valid = unfold != 0
+    std_var = torch.ones((Bn, h, w)) * std
+    unfold = unfold.clone()
+    unfold[~valid] = 1e10
+    min_depth = unfold.min(dim=-1).values
+    min_depth = torch.where(min_depth == 1e10,
+                            torch.zeros_like(min_depth), min_depth)
+    xs = torch.arange(d0 - step / 2, d1, step)
+    dist = torch.distributions.Normal(min_depth / step, std_var / step)
+    cdfs = torch.stack([dist.cdf(i) for i in xs], dim=-1)
+    labels = cdfs[..., 1:] - cdfs[..., :-1]
+
+    vals = min_depth.view(-1)
+    fg = (vals >= d0) & (vals <= d1 - step)
+    labels_fg = labels.view(-1, D)[fg]
+    preds_fg = torch.from_numpy(prob).reshape(-1, D)[fg]
+    ref = F.kl_div(torch.log(preds_fg + 1e-4), labels_fg,
+                   reduction="batchmean", log_target=False).item()
+
+    got = float(kld_depth_loss(jnp.asarray(prob), jnp.asarray(gt), ds,
+                               (d0, d1, step), constant_std=std))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_kld_dispatch_in_compute_losses(rng):
+    """cfg.lss.loss_depth_type='kld' actually switches the loss branch."""
+    import dataclasses
+    from coocc_tpu.data.synthetic import tiny_config, synthetic_batch
+    from coocc_tpu.models.losses import compute_losses
+
+    cfg = dataclasses.replace(tiny_config(), loss_norm=False)
+    cfgk = dataclasses.replace(
+        cfg, lss=dataclasses.replace(cfg.lss, loss_depth_type="kld"))
+    batch = synthetic_batch(cfg, batch_size=1, seed=0)
+    D = cfg.grid.num_depth_bins
+    B, N, H, W = batch.gt_depths.shape
+    ds = cfg.lss.downsample
+    prob = rng.rand(B, N, H // ds, W // ds, D).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+    Xc = cfg.occ_size[0] // 2
+    outs = {
+        "depth_prob": jnp.asarray(prob),
+        "occ": jnp.asarray(
+            rng.randn(B, Xc, cfg.occ_size[1] // 2, cfg.occ_size[2] // 2,
+                      cfg.occ_head.out_channel).astype(np.float32)),
+    }
+    l_bce = compute_losses(outs, batch, cfg)
+    l_kld = compute_losses(outs, batch, cfgk)
+    assert float(l_bce["loss_depth"]) != float(l_kld["loss_depth"])

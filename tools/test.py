@@ -31,6 +31,12 @@ def parse_args():
                    help="directory for per-sample npz prediction dumps")
     p.add_argument("--show-dir", default=None,
                    help="directory for BEV visualization pngs")
+    p.add_argument("--test-rendering", action="store_true",
+                   help="render rgb/depth at eval and report PSNR/SSIM "
+                   "(reference: test_rendering=True, coocc_ray.py:562-637)")
+    p.add_argument("--render-dir", default=None,
+                   help="dump [render | gt | depth] side-by-side pngs here "
+                   "(implies --test-rendering)")
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -55,6 +61,11 @@ def main():
     from coocc_tpu.evaluation.formatting import print_ssc_table
 
     cfg = tiny_config() if args.config == "tiny" else get_config(args.config)
+    if args.test_rendering or args.render_dir:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, use_rendering=True,
+                                            test_rendering=True))
     mesh = make_mesh(args.devices)
     n_dev = mesh.devices.size
     dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
@@ -121,7 +132,7 @@ def main():
                         os.path.join(args.show_dir, f"{token}.png"))
 
     metrics = evaluate(model, variables, cfg, val_iter(), mesh=mesh,
-                       max_steps=args.max_steps)
+                       max_steps=args.max_steps, render_dir=args.render_dir)
     print_ssc_table(metrics, NUSC_CLASS_NAMES)
 
 
