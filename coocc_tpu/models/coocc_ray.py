@@ -137,13 +137,19 @@ class CoOccRay(nn.Module):
             from ..nn.sparse_enc_dense import DenseLiDAREnc8x
             from ..nn.sparse_enc_packed import PackedLiDAREnc8x
             from ..ops.voxelize import voxelize_mask
-            # python loop over the static batch dim, NOT vmap: the batched
-            # scatter lowers ~2x slower than B unbatched scatters on TPU
-            mask0 = jnp.stack([
-                voxelize_mask(batch.points[b], batch.points_mask[b],
-                              cfg.point_cloud_range, pts.voxel_size,
-                              pts.sparse_shape_xyz, max_voxels=max_vox)
-                for b in range(batch.points.shape[0])])
+            # NOT vmap: the batched scatter lowers ~2x slower than B
+            # unbatched scatters on TPU. B == 1 keeps the bare unbatched
+            # lowering; B > 1 runs the same per-sample program under
+            # lax.map so the traced HLO stays constant-size in B.
+            def vox_mask_one(p, m):
+                return voxelize_mask(p, m, cfg.point_cloud_range,
+                                     pts.voxel_size, pts.sparse_shape_xyz,
+                                     max_voxels=max_vox)
+            if batch.points.shape[0] == 1:
+                mask0 = vox_mask_one(batch.points[0], batch.points_mask[0])[None]
+            else:
+                mask0 = jax.lax.map(lambda a: vox_mask_one(*a),
+                                    (batch.points, batch.points_mask))
             enc_cls = (PackedLiDAREnc8x if impl == "packed"
                        else DenseLiDAREnc8x)
             kw = {}

@@ -61,13 +61,17 @@ class BiFuserN(nn.Module):
             g_pts = gather_knn(pts_b.reshape(-1, C), nn_pts)
             return g_img, g_pts, pts_active, img_active
 
-        # python loop over the (static, small) batch dim, NOT vmap: batched
-        # gathers/min-reductions lower measurably worse than their unbatched
-        # forms on TPU (same pathology as the vmapped lift-splat sort)
-        per = [fuse_one(img_feats[b], pts_feats[b])
-               for b in range(B)]
-        g_img, g_pts, pts_active, img_active = (
-            jnp.stack([t[i] for t in per]) for i in range(4))
+        # NOT vmap: batched gathers/min-reductions lower measurably worse
+        # than their unbatched forms on TPU (same pathology as the vmapped
+        # lift-splat sort). B == 1 keeps the bare unbatched lowering; B > 1
+        # runs the same per-sample program under lax.map so the traced HLO
+        # stays constant-size in B instead of unrolling.
+        if B == 1:
+            per = fuse_one(img_feats[0], pts_feats[0])
+            g_img, g_pts, pts_active, img_active = (t[None] for t in per)
+        else:
+            g_img, g_pts, pts_active, img_active = jax.lax.map(
+                lambda a: fuse_one(*a), (img_feats, pts_feats))
 
         fused_img = nn.relu(knn_enc(g_img)) * pts_feats
         fused_img = fused_img * pts_active[..., None]

@@ -353,22 +353,26 @@ class OccHead(nn.Module):
                 x, fine = chunk_fn(coords)
             return x, fine, fvalid
 
-        # vmap over batch with shared params: use nn.vmap-free manual loop
-        # (B is 1 per device in all shipped configs; loop keeps params shared)
-        fine_logits, fine_coords, fine_valids = [], [], []
-        for b in range(B):
-            rng_b = None if fine_rng is None else jax.random.fold_in(fine_rng, b)
-            tr_b = None if transform is None else tuple(t[b] for t in transform)
-            imf_b = None if imf is None else imf[b]
-            bl_b = blended_t[b] if Cvox else None
-            fl, fc, fv = per_sample((occ_mask[b], bl_b, imf_b, tr_b,
-                                     rng_b))
-            fine_logits.append(fl)
-            fine_coords.append(fc)
-            fine_valids.append(fv)
-        out["fine_logits"] = jnp.stack(fine_logits)
-        out["fine_coords"] = jnp.stack(fine_coords)
-        out["fine_valid"] = jnp.stack(fine_valids)
+        # batch handling with shared params (B is 1 per device in all shipped
+        # configs). B == 1 keeps the bare unbatched lowering; B > 1 runs the
+        # same per-sample program under lax.map (None leaves pass through the
+        # xs pytree untouched) so the traced HLO stays constant-size in B.
+        if B == 1:
+            rng0 = None if fine_rng is None else jax.random.fold_in(fine_rng, 0)
+            tr0 = None if transform is None else tuple(t[0] for t in transform)
+            fl, fc, fv = per_sample(
+                (occ_mask[0], blended_t[0] if Cvox else None,
+                 None if imf is None else imf[0], tr0, rng0))
+            fl, fc, fv = fl[None], fc[None], fv[None]
+        else:
+            rngs = None if fine_rng is None else jax.vmap(
+                lambda i: jax.random.fold_in(fine_rng, i))(jnp.arange(B))
+            fl, fc, fv = jax.lax.map(
+                per_sample,
+                (occ_mask, blended_t if Cvox else None, imf, transform, rngs))
+        out["fine_logits"] = fl
+        out["fine_coords"] = fc
+        out["fine_valid"] = fv
         # Overflow diagnostic: the reference refines ALL occupied voxels at
         # eval (occ_head.py:182-237, topk only in training); our static cap
         # silently drops cells past `cap` when exceeded. Surface the count so

@@ -76,8 +76,12 @@ def lift_splat(depth_prob: jnp.ndarray, img_feat: jnp.ndarray,
             out = jax.ops.segment_sum(contrib, vb, num_segments=n_vox + 1)
         return out[:n_vox].reshape(nx_i[0], nx_i[1], nx_i[2], C)
 
-    # python loop over the (static, small) batch dim, NOT vmap: a vmapped
-    # lax.sort lowers to a batched sort that costs 13.1 ms where the
-    # unbatched one costs 5.4 ms at the r50 shapes (bit-identical output)
-    return jnp.stack([one_sample(w[b], vox_id[b], img_feat[b])
-                      for b in range(B)])
+    # NOT vmap: a vmapped lax.sort lowers to a batched sort that costs
+    # 13.1 ms where the unbatched one costs 5.4 ms at the r50 shapes.
+    # B == 1 (the deployment batching) keeps the bare unbatched lowering;
+    # B > 1 runs the same per-sample program under lax.map so the traced
+    # HLO stays CONSTANT-SIZE in B instead of unrolling (bit-identical
+    # output either way).
+    if B == 1:
+        return one_sample(w[0], vox_id[0], img_feat[0])[None]
+    return jax.lax.map(lambda a: one_sample(*a), (w, vox_id, img_feat))
