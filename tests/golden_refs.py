@@ -366,9 +366,16 @@ class TorchSECOND3D(nn.Module):
                  is_cascade=False):
         super().__init__()
         self.is_cascade = is_cascade
-        in_filters = [in_channels[0], *out_channels[:-1]] \
-            if isinstance(in_channels, (list, tuple)) else \
-            [in_channels, *out_channels[:-1]]
+        ins = list(in_channels) if isinstance(in_channels, (list, tuple)) \
+            else [in_channels]
+        if is_cascade:
+            # cascade chains block outputs (second3d.py:41)
+            in_filters = [ins[0], *out_channels[:-1]]
+        else:
+            # non-cascade feeds every block the original input
+            # (second3d.py:39,104-109); broadcast a 1-tuple for tests
+            in_filters = ins if len(ins) == len(out_channels) \
+                else [ins[0]] * len(out_channels)
         blocks = []
         for i, n in enumerate(layer_nums):
             s = layer_strides[i]

@@ -44,7 +44,12 @@ def main():
     else:
         cfg = get_config(args.config)
     model = CoOccRay(cfg=cfg, dtype=jnp.bfloat16)
-    batch = synthetic_batch(cfg, batch_size=1)
+    # device-resident batch: with numpy leaves every step() re-uploads the
+    # ~15 MB batch through the relay, inflating the "step" by hundreds of
+    # ms (observed 1040 ms vs 470 ms fwd+bwd); the real loop prefetches
+    batch = jax.tree.map(
+        lambda x: None if x is None else jnp.asarray(x),
+        synthetic_batch(cfg, batch_size=1), is_leaf=lambda x: x is None)
     rng = jax.random.PRNGKey(0)
     variables = jit_init(model, {"params": rng, "dropout": rng}, batch,
                          train=True, fine_rng=rng)

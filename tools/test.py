@@ -31,6 +31,11 @@ def parse_args():
                    help="directory for per-sample npz prediction dumps")
     p.add_argument("--show-dir", default=None,
                    help="directory for BEV visualization pngs")
+    p.add_argument("--save-by-scene", action="store_true",
+                   help="group --pred-save npz dumps into per-scene "
+                   "subfolders named by real sample tokens, ready for "
+                   "tools/visualize_video.py (reference: per-scene pred "
+                   "folders, visualize_nusc_video.py:56-76)")
     p.add_argument("--test-rendering", action="store_true",
                    help="render rgb/depth at eval and report PSNR/SSIM "
                    "(reference: test_rendering=True, coocc_ray.py:562-637)")
@@ -114,20 +119,34 @@ def main():
         from coocc_tpu.parallel.train_step import make_eval_step
         eval_step = make_eval_step(model, cfg, mesh=mesh)
         out_dir = args.pred_save or args.show_dir
+        # val iteration is sequential over the timestamp-sorted infos, so
+        # flat index -> (token, scene_name) comes straight from the pkl
+        meta = None
+        if args.save_by_scene and not args.synthetic:
+            import pickle
+            with open(args.ann_file, "rb") as f:
+                data = pickle.load(f)
+            infos = data["infos"] if isinstance(data, dict) else data
+            infos = sorted(infos, key=lambda x: x["timestamp"])
+            meta = [(x["token"], x.get("scene_name")) for x in infos]
         for i, batch in enumerate(val_iter()):
             if args.max_steps and i >= args.max_steps:
                 break
             out = eval_step(variables, batch)
             pred = np.argmax(np.asarray(out["occ_logits"]), axis=-1)
             for b in range(pred.shape[0]):
-                token = f"sample_{i}_{b}"
+                flat = i * pred.shape[0] + b
+                token, scene = (meta[flat] if meta and flat < len(meta)
+                                else (f"sample_{i}_{b}", None))
                 save_output_nuscenes(
                     pred[b], args.pred_save or out_dir, token,
-                    gt_voxels=np.asarray(batch.gt_occ[b]))
+                    gt_voxels=np.asarray(batch.gt_occ[b]),
+                    scene_name=scene)
                 if args.show_dir:
                     import os
                     save_visualization(
                         os.path.join(args.pred_save or out_dir,
+                                     *([scene] if scene else []),
                                      f"{token}.npz"),
                         os.path.join(args.show_dir, f"{token}.png"))
 
