@@ -122,6 +122,15 @@ def coocc_multi_r101_openoccupancy() -> CoOccConfig:
             voxel_size=(0.1, 0.1, 0.1),
             sparse_shape_xyz=(1024, 1024, 80),
         ),
+        # fuser grid here is 128x128x10 @ 0.8 m (vs flagship 100x100x8 @
+        # 1.0 m); the window radii are re-derived from measurement at THIS
+        # grid (tools/knn_window_missrate.py --grid 128,128,10,0.8, 5
+        # seeds): (6,6,7) misses 0.76% img->pts / 0.32% pts->img of
+        # in-threshold neighbours, (8,8,9) misses 0.13% / 0.09%,
+        # (10,10,9) 0.02% / 0. (8,8,9) matches the flagship's measured
+        # sub-1% operating point at ~2x window volume.
+        fuser=dataclasses.replace(base.fuser, window_rx=8, window_ry=8,
+                                  window_rz=9),
         occ_head=OccHeadConfig(
             cascade_ratio=4, sample_from_voxel=True, sample_from_img=True,
             final_occ_size=occ_size, fine_topk=15000,
