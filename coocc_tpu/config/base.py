@@ -196,6 +196,14 @@ class FuserConfig:
     window_rx: int = 6
     window_ry: int = 6
     window_rz: int = 7
+    # per-direction override for the IMG-key search (nearest image voxels
+    # for pts-active queries). Image coverage is the dense LSS frustum, so
+    # its nearest neighbours sit much closer than sparse LiDAR's: (4,4,7)
+    # measures 0.7% pts->img miss (vs 0.3% at (6,6,7)) at ~half the
+    # window volume (1215 vs 2535 offsets). None = use window_r{x,y,z}.
+    window_img_rx: int | None = 4
+    window_img_ry: int | None = 4
+    window_img_rz: int | None = 7
 
 
 @dataclass(frozen=True)

@@ -130,7 +130,8 @@ def coocc_multi_r101_openoccupancy() -> CoOccConfig:
         # (10,10,9) 0.02% / 0. (8,8,9) matches the flagship's measured
         # sub-1% operating point at ~2x window volume.
         fuser=dataclasses.replace(base.fuser, window_rx=8, window_ry=8,
-                                  window_rz=9),
+                                  window_rz=9, window_img_rx=6,
+                                  window_img_ry=6, window_img_rz=7),
         occ_head=OccHeadConfig(
             cascade_ratio=4, sample_from_voxel=True, sample_from_img=True,
             final_occ_size=occ_size, fine_topk=15000,

@@ -251,6 +251,9 @@ class CoOccRay(nn.Module):
                 window_rx=cfg.fuser.window_rx,
                 window_ry=cfg.fuser.window_ry,
                 window_rz=cfg.fuser.window_rz,
+                window_img_rx=getattr(cfg.fuser, "window_img_rx", None),
+                window_img_ry=getattr(cfg.fuser, "window_img_ry", None),
+                window_img_rz=getattr(cfg.fuser, "window_img_rz", None),
                 dtype=self.dtype, name="occ_fuser",
             )(img_voxel, pts_voxel, train=train)
         else:

@@ -32,6 +32,12 @@ class BiFuserN(nn.Module):
     window_rx: int = 4
     window_ry: int = 4
     window_rz: int = 7
+    # img-key search radii (None -> window_r*): the image modality covers
+    # the LSS frustum densely, so the pts->img direction tolerates a much
+    # smaller window at near-equal miss rate (see FuserConfig)
+    window_img_rx: Any = None
+    window_img_ry: Any = None
+    window_img_rz: Any = None
     dtype: Any = None
 
     @nn.compact
@@ -41,6 +47,14 @@ class BiFuserN(nn.Module):
         k = self.knum
         offsets = make_offsets(self.window_rx, self.window_ry, self.window_rz,
                                self.dist_thresh)
+        offsets_img = make_offsets(
+            self.window_img_rx if self.window_img_rx is not None
+            else self.window_rx,
+            self.window_img_ry if self.window_img_ry is not None
+            else self.window_ry,
+            self.window_img_rz if self.window_img_rz is not None
+            else self.window_rz,
+            self.dist_thresh)
 
         knn_enc = Linear(self.out_channels, dtype=self.dtype, name="knn_enc")
 
@@ -55,7 +69,7 @@ class BiFuserN(nn.Module):
             img_active = jnp.abs(img_b).sum(-1) != 0
             pts_active = jnp.abs(pts_b).sum(-1) != 0
             # nearest IMG voxels for every cell; used at pts-active cells
-            nn_img = window_knn(img_active, offsets, k)
+            nn_img = window_knn(img_active, offsets_img, k)
             nn_pts = window_knn(pts_active, offsets, k)
             g_img = gather_knn(img_b.reshape(-1, C), nn_img)
             g_pts = gather_knn(pts_b.reshape(-1, C), nn_pts)

@@ -114,3 +114,39 @@ def test_voxelize_mask_matmul_rank_path(rng):
         got = voxelize_mask(jnp.asarray(pts), jnp.asarray(mask), pcr,
                             (1.0, 1.0, 1.0), grid, max_voxels=cap)
         np.testing.assert_array_equal(np.asarray(got).reshape(-1), ref)
+
+
+def test_voxelize_mask_rank_selection_multirow(rng):
+    """Multi-lane-row grids exercise the boundary-row rank selection: caps
+    crossing inside row 0, inside a later row, exactly at a row edge,
+    exactly at the total, and above the total must all match the dense
+    reference rule (keep the max_voxels smallest occupied ids)."""
+    from coocc_tpu.ops.voxelize import voxelize_mask
+
+    pts = rng.uniform(-15.9, 15.9, size=(9000, 5)).astype(np.float32)
+    pcr = (-16.0, -16.0, -2.0, 16.0, 16.0, 2.0)
+    grid = (32, 32, 4)  # 4096 cells = 4 lane-rows
+    mask = np.ones(9000, bool)
+
+    # reference coords in float32, matching the op's arithmetic (float64
+    # here would bin boundary points into different cells)
+    coords = np.floor((pts[:, :3] - np.array(pcr[:3], np.float32)) /
+                      np.float32(1.0)).astype(int)
+    inb = ((coords >= 0) & (coords < np.array([32, 32, 4]))).all(1)
+    coords = coords[inb]
+    ids = (coords[:, 0] * 32 + coords[:, 1]) * 4 + coords[:, 2]
+    occ_ids = np.unique(ids)
+    total = len(occ_ids)
+    row0 = int((occ_ids < 1024).sum())
+
+    for cap in (row0 // 2,            # boundary inside row 0
+                row0,                 # exactly at a row-population edge
+                row0 + 37,            # inside row 1
+                total,                # exact fit -> keep all
+                total + 100):         # above total -> keep all
+        ref = np.zeros(4096, bool)
+        ref[occ_ids[:cap]] = True
+        got = voxelize_mask(jnp.asarray(pts), jnp.asarray(mask), pcr,
+                            (1.0, 1.0, 1.0), grid, max_voxels=cap)
+        np.testing.assert_array_equal(np.asarray(got).reshape(-1), ref,
+                                      err_msg=f"cap={cap}")

@@ -49,7 +49,7 @@ def main():
     target_c = jax.block_until_ready(target_c)
     weights = class_weights(C)
     depth_prob = jnp.asarray(
-        rng.rand(N, D, fH, fW).astype("f4"))
+        rng.rand(1, N, fH, fW, D).astype("f4"))
     gt_depths = jnp.asarray(
         (rng.rand(1, N, *cfg.data.input_size) * 50).astype("f4")
         * (rng.rand(1, N, *cfg.data.input_size) < 0.02))
