@@ -24,22 +24,39 @@ from .mesh import Mesh, NamedSharding, P
 def make_train_step(model, cfg: CoOccConfig, mesh=None):
     """Returns train_step(state, batch, rng) -> (state, metrics)."""
 
-    def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
+    def loss_fn(variables, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 1)}
         outs, mutated = model.apply(
             variables, batch, train=True,
             fine_rng=jax.random.fold_in(rng, 2), rngs=rngs,
-            mutable=["batch_stats"] if batch_stats is not None else [])
+            mutable=["batch_stats"] if "batch_stats" in variables else [])
+        # optimization_barrier between the model outputs and the loss
+        # computation. NOT cosmetic: on the TPU backend (v5e, jax 0.9.0)
+        # the fused fwd+bwd train graph returns NaN for exactly the voxel
+        # loss terms at step 0 while the identical math is clean on CPU,
+        # clean as a fwd-only graph, and clean when the grads are returned
+        # without the optimizer update (round-4 bisect, five single-delta
+        # probes). Severing fusion at this boundary fixes every variant;
+        # the outputs are loss inputs either way, so the barrier
+        # materializes nothing the graph wasn't already keeping.
+        keys = [k for k, v in outs.items() if v is not None]
+        vals = jax.lax.optimization_barrier(tuple(outs[k] for k in keys))
+        outs = {**outs, **dict(zip(keys, vals))}
         losses = compute_losses(outs, batch, cfg)
         total = sum(v for k, v in losses.items() if k.startswith("loss"))
         return total, (losses, mutated.get("batch_stats"))
 
+    def grads_and_aux(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        (total, aux), gvars = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables, batch, rng)
+        return total, aux, gvars["params"]
+
     def train_step(state, batch, rng):
-        (total, (losses, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        total, (losses, new_bs), grads = grads_and_aux(
+            state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(grads=grads)
         if new_bs is not None:
             state = state.replace(batch_stats=new_bs)
@@ -61,8 +78,8 @@ def make_train_step(model, cfg: CoOccConfig, mesh=None):
         def per_device_grads(params, batch_stats, batch, rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             with bn_sync_axis(axis):
-                (total, (losses, new_bs)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, batch_stats, batch, rng)
+                total, (losses, new_bs), grads = grads_and_aux(
+                    params, batch_stats, batch, rng)
             grads = jax.lax.pmean(grads, axis)
             total = jax.lax.pmean(total, axis)
             losses = jax.lax.pmean(losses, axis)

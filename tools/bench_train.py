@@ -26,6 +26,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="coocc_multi_r50_256x704")
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--scan-only", action="store_true",
+                   help="skip the single-call measurement (saves one "
+                        "flagship-size compile; scan marginal is the "
+                        "headline number anyway)")
     args = p.parse_args()
 
     import jax
@@ -73,18 +77,21 @@ def main():
         ts.append(time.perf_counter() - t0)
     t_rt = float(np.median(ts))
 
-    t0 = time.perf_counter()
-    state, metrics = step(state, batch, rng)
-    _ = readback(metrics)
-    compile_s = time.perf_counter() - t0
-
-    tt = []
-    for _ in range(args.reps):
+    ms = compile_s = None
+    loss = None
+    if not args.scan_only:
         t0 = time.perf_counter()
         state, metrics = step(state, batch, rng)
-        _ = readback(metrics)
-        tt.append(time.perf_counter() - t0)
-    ms = (float(np.median(tt)) - t_rt) * 1e3
+        loss = readback(metrics)
+        compile_s = time.perf_counter() - t0
+
+        tt = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch, rng)
+            loss = readback(metrics)
+            tt.append(time.perf_counter() - t0)
+        ms = (float(np.median(tt)) - t_rt) * 1e3
 
     # Per-call dispatch through the axon relay scales with the argument
     # tree (hundreds of state buffers), so the single-call number above
@@ -107,22 +114,26 @@ def main():
     for K in (1, 9):
         jfn = jax.jit(partial(scan_steps, K=K))
         t0 = time.perf_counter()
-        float(jfn(state, batch, rng))
+        loss = float(jfn(state, batch, rng))
         times[f"compile_{K}"] = time.perf_counter() - t0
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            float(jfn(state, batch, rng))
+            loss = float(jfn(state, batch, rng))
             ts.append(time.perf_counter() - t0)
         times[K] = float(np.median(ts))
     scan_ms = (times[9] - times[1]) / 8 * 1e3
 
-    print(json.dumps({
+    out = {
         "metric": "train_step_ms", "value": round(scan_ms, 2), "unit": "ms",
-        "config": args.config, "compile_s": round(compile_s, 1),
-        "single_call_ms": round(ms, 2),
-        "loss": float(metrics["loss_total"]),
-    }), flush=True)
+        "config": args.config,
+        "compile_scan_s": round(times["compile_1"], 1),
+        "loss": loss,
+    }
+    if ms is not None:
+        out["single_call_ms"] = round(ms, 2)
+        out["compile_s"] = round(compile_s, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ cat /tmp/bench_r4_render.json >> $LOG
 python tools/bench_train.py --config tiny > /tmp/bench_r4_train_tiny.json 2>> $LOG
 echo "=== bench_train tiny done $(date)" >> $LOG
 cat /tmp/bench_r4_train_tiny.json >> $LOG
-python tools/bench_train.py > /tmp/bench_r4_train.json 2>> $LOG
+python tools/bench_train.py --scan-only > /tmp/bench_r4_train.json 2>> $LOG
 echo "=== bench_train flagship done $(date)" >> $LOG
 cat /tmp/bench_r4_train.json >> $LOG
 
