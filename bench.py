@@ -5,12 +5,17 @@ Baseline target: >= 10 frames/sec/chip on TPU v5e (BASELINE.md).
 
 Methodology note: on this environment's remote-execution relay,
 jax.block_until_ready resolves at enqueue (async), and repeated identical
-calls can be served from cache — naive timing reports absurd fps. We
-therefore run K model forwards CHAINED INSIDE ONE JIT (lax.scan over K
-distinct batches) with a scalar readback forcing real synchronization, and
-subtract the measured 1-iteration baseline to cancel the fixed relay
-round-trip (~25 ms). Marginal time per forward == true device time
-(validated against known-FLOP matmul chains).
+calls can be served from a result cache — naive timing reports absurd fps.
+We therefore time a SINGLE jitted forward with (a) a scalar readback
+forcing real synchronization, (b) a DISTINCT pre-staged batch per rep so
+no two calls share an argument signature the relay could cache, and
+(c) the measured trivial-jit round trip (~25 ms) subtracted to cancel the
+fixed relay overhead. A chained lax.scan over K batches (the marginal-cost
+methodology tools/bench_train.py and tools/bench_render.py use) would be
+stronger, but the remote compile helper OOMs on flagship-size scanned
+graphs, so the forward stays unchained here. If the measured forward time
+does not clearly exceed the round-trip floor the run FAILS loudly rather
+than emitting a garbage number.
 """
 from __future__ import annotations
 
@@ -73,7 +78,12 @@ def main():
     # scalar readback and subtracts the measured relay round-trip.
     B = int(os.environ.get("BENCH_BATCH", "1"))
     reps = int(os.environ.get("BENCH_ITERS", "5"))
-    batch = to_dev(synthetic_batch(cfg, batch_size=B, seed=0))
+    # one distinct pre-staged batch per rep: identical-args repeat calls can
+    # be served from the relay's result cache (observed round 4: a 0-delta
+    # timing), so no two timed calls may share inputs
+    batches = [to_dev(synthetic_batch(cfg, batch_size=B, seed=s))
+               for s in range(reps + 1)]
+    batch = batches[0]
 
     variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
                          train=False)
@@ -94,17 +104,28 @@ def main():
     float(trivial(xsmall))
     float(fwd(variables, batch))  # compile + warm
 
-    def timed(fn, *args):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(trivial(xsmall))
+        ts.append(time.perf_counter() - t0)
+    t_overhead = float(np.median(ts))
 
-    t_overhead = timed(trivial, xsmall)
-    t_fwd = timed(fwd, variables, batch)
-    dt = max((t_fwd - t_overhead) / B, 1e-6)
+    ts = []
+    for i in range(reps):
+        b = batches[i + 1]  # fresh inputs every rep — see staging note above
+        t0 = time.perf_counter()
+        float(fwd(variables, b))
+        ts.append(time.perf_counter() - t0)
+    t_fwd = float(np.median(ts))
+
+    if t_fwd <= 1.2 * t_overhead:
+        raise RuntimeError(
+            f"bench invalid: forward ({t_fwd*1e3:.2f} ms) does not clearly "
+            f"exceed the relay round-trip floor ({t_overhead*1e3:.2f} ms) — "
+            "the relay likely served a cached result; refusing to emit a "
+            "garbage fps number")
+    dt = (t_fwd - t_overhead) / B
     fps = 1.0 / dt
 
     print(json.dumps({

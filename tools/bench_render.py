@@ -5,9 +5,17 @@ BASELINE.md's metric axes name "render rays/sec" alongside frames/sec and
 mIoU parity. The reference's inline renderer walks the full stride-16
 frustum per camera (coocc_ray.py:364-417): at r50 shapes that is
 6 cams x 16 x 44 = 4224 rays/frame, 112 samples/ray. This times the
-standalone FrustumRenderer (models/renderer.py) at those shapes with the
-relay-safe scalar-readback methodology of bench.py and prints one JSON
-line {"metric": "render rays/sec", ...}.
+standalone FrustumRenderer (models/renderer.py) at those shapes.
+
+Methodology (round-5 fix): round 4 timed 5 IDENTICAL calls and subtracted
+a trivial-jit round trip; the relay served the repeats from its result
+cache, the delta went <= 0, a 1e-6 clamp fired, and the tool printed
+4.2e9 rays/sec with nobody noticing. The renderer graph is small enough
+to chain, so we now run K frames with DISTINCT feature volumes inside one
+jit (lax.scan over a stacked feats array) and difference K=9 against K=1:
+dispatch and readback cancel exactly, and per-frame time is the honest
+scan marginal. If the K=9 run is not measurably slower than K=1 the run
+FAILS loudly instead of emitting garbage.
 """
 from __future__ import annotations
 
@@ -15,6 +23,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,6 +42,7 @@ def main():
     dtype = {"bf16": jnp.bfloat16, "fp32": None}[
         os.environ.get("BENCH_DTYPE", "bf16")]
     reps = int(os.environ.get("BENCH_ITERS", "5"))
+    KMAX = 9
 
     batch = synthetic_batch(cfg, batch_size=1)
     scale = 16
@@ -45,37 +55,44 @@ def main():
     B, N, D, H, W, _ = geom.shape
     Xg, Yg, Zg = cfg.lss_grid_size
     C = cfg.lss.numC_Trans
-    feats = jnp.asarray(np.random.RandomState(0).randn(B, Xg, Yg, Zg, C),
-                        dtype or jnp.float32)
+    # KMAX distinct feature volumes, scanned over — no two chained frames
+    # share inputs, so no result cache can serve them
+    feats_all = jnp.asarray(
+        np.random.RandomState(0).randn(KMAX, B, Xg, Yg, Zg, C),
+        dtype or jnp.float32)
 
     renderer = FrustumRenderer(cfg=cfg.render, scale=scale, with_rgb=True,
                                dtype=dtype)
-    variables = renderer.init(jax.random.PRNGKey(0), feats, geom)
+    variables = renderer.init(jax.random.PRNGKey(0), feats_all[0], geom)
 
-    @jax.jit
-    def run(v, f, g):
-        rgbs, depths = renderer.apply(v, f, g)
-        return (jnp.sum(jnp.abs(rgbs.astype(jnp.float32)))
-                + jnp.sum(jnp.abs(depths.astype(jnp.float32))))
+    def run_k(v, feats_k, g, K):
+        def body(acc, f):
+            rgbs, depths = renderer.apply(v, f, g)
+            return acc + (jnp.sum(jnp.abs(rgbs.astype(jnp.float32)))
+                          + jnp.sum(jnp.abs(depths.astype(jnp.float32)))), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), feats_k)
+        return acc
 
-    @jax.jit
-    def trivial(x):
-        return (x * 2.0).sum()
-
-    xsmall = jnp.ones((8, 128))
-    float(trivial(xsmall))
-    float(run(variables, feats, geom))  # compile + warm
-
-    def timed(fn, *args):
+    times = {}
+    for K in (1, KMAX):
+        jfn = jax.jit(partial(run_k, K=K))
+        feats_k = feats_all[:K]
+        float(jfn(variables, feats_k, geom))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(fn(*args))
+            float(jfn(variables, feats_k, geom))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        times[K] = float(np.median(ts))
 
-    dt = max(timed(run, variables, feats, geom) - timed(trivial, xsmall),
-             1e-6)
+    if times[KMAX] <= times[1] * 1.02:
+        raise RuntimeError(
+            f"bench invalid: K={KMAX} chained frames "
+            f"({times[KMAX]*1e3:.2f} ms) not measurably slower than K=1 "
+            f"({times[1]*1e3:.2f} ms) — the relay likely served cached "
+            "results; refusing to emit a garbage rays/sec number")
+
+    dt = (times[KMAX] - times[1]) / (KMAX - 1)
     rays = B * N * H * W
     rays_per_sec = rays / dt
 
