@@ -53,7 +53,10 @@ def main():
     from coocc_tpu.models.coocc_ray import CoOccRay
     from coocc_tpu.utils.init_utils import jit_init
 
-    cfg = get_config("coocc_multi_r50_256x704")
+    # BENCH_CONFIG: time any shipped config with the same methodology —
+    # the per-config real-shape proof table (VERDICT round-4 task #1)
+    cfg_name = os.environ.get("BENCH_CONFIG", "coocc_multi_r50_256x704")
+    cfg = get_config(cfg_name)
     ztap = os.environ.get("BENCH_ZTAP", "")
     if ztap:
         # A/B knob: run the packed encoder's res levels in z-batch tap-fused
@@ -129,7 +132,7 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "coocc_multi_r50_256x704 inference frames/sec/chip",
+        "metric": f"{cfg_name} inference frames/sec/chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

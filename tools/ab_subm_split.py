@@ -30,14 +30,19 @@ def main():
 
     cfg = get_config("coocc_multi_r50_256x704")
     pts_cfg = cfg.pts
-    b = synthetic_batch(cfg, batch_size=1)
-    pts = jnp.asarray(b.points[0])
-    mask = jnp.asarray(b.points_mask[0])
-
-    mask0 = voxelize_mask(pts, mask, cfg.point_cloud_range,
+    REPS = 7
+    # one distinct voxel mask per rep: identical-args repeats can be served
+    # from the relay's result cache (round-4 bench_render incident)
+    masks = []
+    for s in range(REPS + 1):
+        b = synthetic_batch(cfg, batch_size=1, seed=s)
+        m = voxelize_mask(jnp.asarray(b.points[0]),
+                          jnp.asarray(b.points_mask[0]),
+                          cfg.point_cloud_range,
                           pts_cfg.voxel_size, pts_cfg.sparse_shape_xyz,
                           max_voxels=pts_cfg.max_voxels_test)[None]
-    mask0 = jax.block_until_ready(mask0)
+        masks.append(jax.block_until_ready(m))
+    mask0 = masks[0]
 
     enc = PackedLiDAREnc8x(
         input_channel=pts_cfg.input_channel,
@@ -73,11 +78,16 @@ def main():
         float(run(vs, mask0))
         compile_s = time.perf_counter() - t0
         tt = []
-        for _ in range(7):
+        for i in range(REPS):
             t0 = time.perf_counter()
-            float(run(vs, mask0))
+            float(run(vs, masks[i + 1]))
             tt.append(time.perf_counter() - t0)
-        ms = (float(np.median(tt)) - t_rt) * 1e3
+        t_run = float(np.median(tt))
+        if t_run <= 1.2 * t_rt:
+            raise RuntimeError(
+                f"A/B invalid ({tag}): run {t_run*1e3:.2f} ms does not "
+                f"clear the round-trip floor {t_rt*1e3:.2f} ms")
+        ms = (t_run - t_rt) * 1e3
         results[tag] = round(ms, 2)
         print(f"{tag}: {ms:.2f} ms  [compile {compile_s:.0f}s]", flush=True)
 
