@@ -546,11 +546,46 @@ class SpConvDense(nn.Module):
 
     def forward(self, x, mask):
         w = self.weight.permute(0, 4, 3, 2, 1)  # -> [O, I, kx, ky, kz]
+        # torch CPU conv3d materializes a vol2col buffer of
+        # I*27 x out-spatial floats; at real sparse_shape (800x800x64) that
+        # is ~70 GB. Route big grids through the shift-add form (27 shifted
+        # 1x1 matmuls) — the same convolution, summed per-tap.
+        numel_col = x.shape[1] * 27 * (x[0, 0].numel() // self.stride ** 3)
+        conv = (_conv3d_shiftadd if numel_col > 2 ** 28
+                else lambda a, ww, stride: F.conv3d(a, ww, stride=stride,
+                                                    padding=1))
         if self.stride == 1:
-            return F.conv3d(x, w, padding=1) * mask, mask
-        y = F.conv3d(x, w, stride=2, padding=1)
+            return conv(x, w, stride=1) * mask, mask
+        y = conv(x, w, stride=2)
         newmask = (F.max_pool3d(mask, 3, 2, 1) > 0).float()
         return y * newmask, newmask
+
+
+def _conv3d_shiftadd(x, w, stride=1):
+    """3x3x3 conv3d (padding 1) as 27 shifted channel-matmuls.
+
+    Numerically the same convolution as F.conv3d (per-tap fp32 sum order
+    differs within tolerance); O(B*I*spatial) transient memory instead of
+    the vol2col I*27*spatial buffer.
+    """
+    B, I = x.shape[:2]
+    X, Y, Z = x.shape[2:]
+    O = w.shape[0]
+    Xo = (X + 2 - 3) // stride + 1
+    Yo = (Y + 2 - 3) // stride + 1
+    Zo = (Z + 2 - 3) // stride + 1
+    xp = F.pad(x, (1, 1, 1, 1, 1, 1))
+    y = x.new_zeros(B, O, Xo, Yo, Zo)
+    for kx in range(3):
+        for ky in range(3):
+            for kz in range(3):
+                sl = xp[:, :,
+                        kx:kx + stride * (Xo - 1) + 1:stride,
+                        ky:ky + stride * (Yo - 1) + 1:stride,
+                        kz:kz + stride * (Zo - 1) + 1:stride]
+                wk = w[:, :, kx, ky, kz]  # [O, I]
+                y += torch.einsum("oi,bixyz->boxyz", wk, sl.contiguous())
+    return y
 
 
 def _bn_masked(bn, x, mask):
@@ -771,6 +806,48 @@ def window_knn_oracle(key_mask, offsets, k=2):
                         found += 1
                         if found == k:
                             break
+    return out
+
+
+def window_knn_oracle_vec(key_mask, offsets, k=2):
+    """Vectorized window_knn_oracle (same semantics, real-shape speed).
+
+    Scans offsets in the given (distance-sorted) order; per offset a single
+    shifted-mask update fills the next free slot for every still-unfilled
+    cell. Equivalent to the per-cell loop because the fill order per cell
+    is exactly the offset order (pinned vs the scalar oracle in
+    test_golden_real_shapes.py at tiny shapes).
+    """
+    import numpy as np
+    X, Y, Z = key_mask.shape
+    km = np.asarray(key_mask).astype(bool)
+    ids = ((np.arange(X)[:, None, None] * Y
+            + np.arange(Y)[None, :, None]) * Z
+           + np.arange(Z)[None, None, :]).astype(np.int64)
+    out = np.full((X, Y, Z, k), -1, np.int64)
+    found = np.zeros((X, Y, Z), np.int64)
+    for (dx, dy, dz) in offsets:
+        # neighbour (x+dx, y+dy, z+dz) of each cell, validity via slicing
+        qs_x = slice(max(0, -dx), X - max(0, dx))
+        ks_x = slice(max(0, dx), X + min(0, dx))
+        qs_y = slice(max(0, -dy), Y - max(0, dy))
+        ks_y = slice(max(0, dy), Y + min(0, dy))
+        qs_z = slice(max(0, -dz), Z - max(0, dz))
+        ks_z = slice(max(0, dz), Z + min(0, dz))
+        if (qs_x.stop <= qs_x.start or qs_y.stop <= qs_y.start
+                or qs_z.stop <= qs_z.start):
+            continue
+        nb_active = km[ks_x, ks_y, ks_z]
+        nb_ids = ids[ks_x, ks_y, ks_z]
+        f = found[qs_x, qs_y, qs_z]
+        for slot in range(k):
+            hit = nb_active & (f == slot)
+            sub = out[qs_x, qs_y, qs_z, slot]
+            sub[hit] = nb_ids[hit]
+            out[qs_x, qs_y, qs_z, slot] = sub
+        found[qs_x, qs_y, qs_z] = f + nb_active.astype(np.int64)
+        if (found >= k).all():
+            break
     return out
 
 
