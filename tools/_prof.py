@@ -63,7 +63,11 @@ def make_timer(reps: int = 3, iters: int = 8):
     def timed(name, fn, *args, flops=None):
         """fn(*args) -> arbitrary pytree; returns seconds per call."""
 
-        def scanned(*a):
+        def scanned(seed, *a):
+            # seed varies per rep: identical-args repeat calls can be
+            # served from the relay's result cache (round-4 bench_render
+            # incident); a fresh scalar changes the result every call at
+            # zero compile cost
             def body(c, _):
                 # carry-dependent perturbation of EVERY float leaf, so no
                 # input-dependent compute is loop-invariant (hoistable).
@@ -97,17 +101,18 @@ def make_timer(reps: int = 3, iters: int = 8):
                         for l in jax.tree.leaves(out)
                         if hasattr(l, "dtype")) * 1e-30
                 return c + s, None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            c, _ = jax.lax.scan(body, seed * jnp.float32(1e-30), None,
+                                length=iters)
             return c
 
         jfn = jax.jit(scanned)
         t0 = time.perf_counter()
-        _readback(jfn(*args))
+        _readback(jfn(jnp.float32(1.0), *args))
         compile_s = time.perf_counter() - t0
         ts = []
-        for _ in range(reps):
+        for i in range(reps):
             t0 = time.perf_counter()
-            _readback(jfn(*args))
+            _readback(jfn(jnp.float32(2.0 + i), *args))
             ts.append(time.perf_counter() - t0)
         rt = round_trip()
         dt = (float(np.median(ts)) - rt) / iters

@@ -24,6 +24,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("config", nargs="?", default="coocc_multi_r50_256x704")
     p.add_argument("--stages", default="img,pts,fuse,sem,full")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch size (e.g. 2 to attribute the B=2 "
+                        "per-frame regression stage by stage)")
     args = p.parse_args()
 
     import jax
@@ -40,7 +43,7 @@ def main():
     model = CoOccRay(cfg=cfg, dtype=dtype)
     batch = jax.tree.map(
         lambda x: None if x is None else jnp.asarray(x),
-        synthetic_batch(cfg, batch_size=1),
+        synthetic_batch(cfg, batch_size=args.batch),
         is_leaf=lambda x: x is None)
     variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
                          train=False)
@@ -58,10 +61,12 @@ def main():
         report.append((f"{prev_name}->{stage}", t - prev))
         prev, prev_name = t, stage
 
-    print("\n=== marginal stage costs (real forward, ms) ===")
+    B = args.batch
+    print(f"\n=== marginal stage costs (real forward, ms, B={B}) ===")
     for name, dt in sorted(report, key=lambda kv: -kv[1]):
         print(f"  {name:14s} {dt*1e3:8.1f}")
-    print(f"  {'TOTAL':14s} {prev*1e3:8.1f}  -> {1.0/prev:.2f} fps equiv")
+    print(f"  {'TOTAL':14s} {prev*1e3:8.1f}  -> {B/prev:.2f} fps equiv"
+          + (f" ({prev/B*1e3:.1f} ms/frame)" if B > 1 else ""))
 
 
 if __name__ == "__main__":
