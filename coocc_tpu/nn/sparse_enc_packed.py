@@ -68,30 +68,6 @@ def _subm_ext_weight(w27: jnp.ndarray, p: int) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=3)  # [3,3,(p+2)C,pCo]
 
 
-def _subm_inpack_weight(w27: jnp.ndarray, p: int) -> jnp.ndarray:
-    """[27, C, Co] -> [3, 3, p*C, p*Co]: the in-pack block-tridiagonal part
-    of `_subm_ext_weight` WITHOUT the two carry lane groups.
-
-    Splitting the SubM conv into this exactly-128-lane conv plus two tiny
-    [3, 3, C, Co] carry convs (see _PackedSubM) cuts the gross MACs from
-    9*(p+2)*C*Co to 9*p*C*Co + 2*9*C*Co per site — at C=32 (p=4) the 2.0x
-    block-tridiagonal redundancy drops to 1.5x gross, and the main conv's
-    input lanes go from 192 (1.5 MXU tiles, 25% K-padding waste per tap)
-    to exactly 128.
-    """
-    k3, C, Co = w27.shape
-    w3 = w27.reshape(3, 3, 3, C, Co)
-    blocks = []
-    for zo in range(p):
-        col = [jnp.zeros((3, 3, C, Co), w27.dtype) for _ in range(p)]
-        for dz in range(3):
-            zi = zo + dz - 1
-            if 0 <= zi < p:
-                col[zi] = col[zi] + w3[:, :, dz]
-        blocks.append(jnp.concatenate(col, axis=2))  # [3,3,pC,Co]
-    return jnp.concatenate(blocks, axis=3)  # [3,3,pC,pCo]
-
-
 def _strided_weight(w27: jnp.ndarray, z_in: int) -> jnp.ndarray:
     """[27, Ci, Co] -> [3, 3, z_in*Ci, (z_in//2)*Co] for stride-2 z."""
     k3, Ci, Co = w27.shape
@@ -444,26 +420,14 @@ class _PackedSubM(nn.Module):
             y = subm_ext_conv(x_pb, wext, bz=x_pb.shape[1], C=C_in,
                               interpret=(mode == "interpret"))
             return y * maskf_pc_out
-        if p >= 2 and os.environ.get("COOCC_SUBM_SPLIT", "") \
-                in ("1", "on"):
-            # split form: exactly-tiled in-pack conv + two [3,3,C,Co] carry
-            # convs on the cross-pack shift lanes. Same math as the ext
-            # conv (tests/test_packed_enc.py pins equivalence); ~25% fewer
-            # gross MACs at p=4 and no 1.5-tile K padding.
-            C, Co = C_in, self.features
-            w3 = w.reshape(3, 3, 3, C, Co)
-            y = _conv2d_pb(x_pb, _subm_inpack_weight(w, p))
-            up = jnp.concatenate(
-                [x_pb[:, 1:, ..., :C],
-                 jnp.zeros_like(x_pb[:, :1, ..., :C])], axis=1)
-            dn = jnp.concatenate(
-                [jnp.zeros_like(x_pb[:, :1, ..., -C:]),
-                 x_pb[:, :-1, ..., -C:]], axis=1)
-            yu = _conv2d_pb(up, w3[:, :, 2])  # next pack slot 0 -> out p-1
-            yd = _conv2d_pb(dn, w3[:, :, 0])  # prev pack slot p-1 -> out 0
-            y = y.at[..., (p - 1) * Co:].add(yu)
-            y = y.at[..., :Co].add(yd)
-            return y.astype(x_pb.dtype) * maskf_pc_out
+        # A split form (exactly-tiled in-pack conv + two carry convs on the
+        # cross-pack shift lanes, ~25% fewer gross MACs at p=4) was built
+        # and A/B'd on-chip round 5: it LOST 260.45 ms vs 46.14 ms for this
+        # ext conv (tools/ab_subm_split.py, docs/relay_session_r5a.log) —
+        # the three smaller convs serialize and re-read x_pb where the ext
+        # conv is one well-tiled MXU pass. Knob deleted per the
+        # one-wins-or-documented-loss rule; the math lives in git history
+        # (commit 2b2bc60).
         wext = _subm_ext_weight(w, p)
         y = _conv2d_pb(_shift_ext(x_pb, C_in), wext).astype(x_pb.dtype)
         return y * maskf_pc_out

@@ -167,38 +167,3 @@ def test_strided_packed_weight_equivalence(rng, p_in, p_out, Ci, Co):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_subm_split_matches_ext(monkeypatch):
-    """The split SubM form (in-pack conv + two carry convs) must equal the
-    block-tridiagonal ext conv bit-for-bit up to f32 re-association."""
-    from coocc_tpu.nn.sparse_enc_packed import (
-        _PackedSubM, _shift_ext, _subm_ext_weight, _conv2d_pb)
-    rng = np.random.RandomState(3)
-    B, bz, X, Y, p, C = 1, 3, 8, 8, 4, 32
-    x = jnp.asarray(rng.standard_normal((B, bz, X, Y, p * C)), jnp.float32)
-    maskf = jnp.asarray(rng.rand(B, bz, X, Y, p * C) < 0.5, jnp.float32)
-    mod = _PackedSubM(C)
-    vs = mod.init(jax.random.PRNGKey(0), x, maskf, C)
-
-    monkeypatch.setenv("COOCC_SUBM_SPLIT", "1")
-    y_split = mod.apply(vs, x, maskf, C)
-    monkeypatch.setenv("COOCC_SUBM_SPLIT", "0")
-    y_ext = mod.apply(vs, x, maskf, C)
-    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_ext),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_subm_split_p2_matches_ext(monkeypatch):
-    """Same equivalence at p=2 (the res2 C=64 shape)."""
-    from coocc_tpu.nn.sparse_enc_packed import _PackedSubM
-    rng = np.random.RandomState(4)
-    B, bz, X, Y, p, C = 1, 2, 6, 6, 2, 64
-    x = jnp.asarray(rng.standard_normal((B, bz, X, Y, p * C)), jnp.float32)
-    maskf = jnp.asarray(rng.rand(B, bz, X, Y, p * C) < 0.5, jnp.float32)
-    mod = _PackedSubM(C)
-    vs = mod.init(jax.random.PRNGKey(0), x, maskf, C)
-    monkeypatch.setenv("COOCC_SUBM_SPLIT", "1")
-    y_split = mod.apply(vs, x, maskf, C)
-    monkeypatch.setenv("COOCC_SUBM_SPLIT", "0")
-    y_ext = mod.apply(vs, x, maskf, C)
-    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_ext),
-                               rtol=1e-5, atol=1e-5)

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
 """On-chip A/B: packed SubM ext conv vs the split in-pack+carry form.
+#
+# VERDICT (round 5, on-chip): split LOSES — 260.45 ms vs 46.14 ms ext
+# (docs/relay_session_r5a.log). Knob deleted from sparse_enc_packed.py;
+# archived for the record.
 
 Times the full pts branch (voxelize_mask + PackedLiDAREnc8x) at flagship
 shapes with COOCC_SUBM_SPLIT toggled per process-internal flag flip (the
