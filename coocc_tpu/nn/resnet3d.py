@@ -8,7 +8,7 @@ block_inplanes, multi-scale outputs. Dense conv3d maps straight onto the MXU
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -58,10 +58,13 @@ class CustomResNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, zb: bool = False,
-                 zb_out: bool = False):
+                 zb_out: bool = False, stop_stage: Optional[int] = None):
         """zb=True computes (and with zb_out=True also returns) every stage
         in z-batch-resident [B, Z, X, Y, C] layout — identical params/math,
-        one boundary transpose instead of two per conv."""
+        one boundary transpose instead of two per conv.
+        stop_stage: debugging/profiling hook — truncate after stage i
+        (-1 = after input_proj only); used to bisect the openoccupancy
+        TPU-worker crash (tools/repro_openocc_sem.py)."""
         layers = RESNET3D_LAYERS[self.depth]
         if zb:
             x = jnp.transpose(x, (0, 3, 1, 2, 4))  # [B, Z, X, Y, C]
@@ -71,6 +74,8 @@ class CustomResNet3D(nn.Module):
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       name="input_proj_bn")(x)
         x = nn.relu(x)
+        if stop_stage is not None and stop_stage < 0:
+            return (x,)
 
         outs = []
         in_planes = self.block_inplanes[0]
@@ -87,4 +92,6 @@ class CustomResNet3D(nn.Module):
                 outs.append(
                     jnp.transpose(x, (0, 2, 3, 1, 4))
                     if (zb and not zb_out) else x)
+            if stop_stage is not None and i >= stop_stage:
+                return tuple(outs)
         return tuple(outs)
