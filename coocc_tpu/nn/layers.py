@@ -237,7 +237,14 @@ class Conv3d(nn.Module):
             out = out.reshape(B, Zout, out.shape[1], out.shape[2], -1)
         elif os.environ.get("COOCC_ZPAD_STACK"):
             out = self._zpad_stack(xc, w, pads)
-        elif self.groups == 1 and not os.environ.get("COOCC_ZSLICE_TAP"):
+        elif self.groups == 1 and not os.environ.get("COOCC_ZSLICE_TAP") \
+                and not (sz > 1 and Z % 2 == 1):
+            # odd-Z strided convs go through _zslice_tap_conv: the cat form
+            # at [1, 3, 32, 32, 512] -> 1024 s2 (openoccupancy semantic
+            # stage 3, Z 3 -> 2) KILLS the TPU worker ("kernel fault",
+            # bisected tools/repro_openocc_sem.py c31, round 5); the zslice
+            # and zpad lowerings run the same shapes fine. Even-Z strided
+            # convs (all flagship shapes) stay on the measured-fast path.
             out = _ztap_cat_conv(xc, w, pads, self.stride, self.groups)
         else:
             out = _zslice_tap_conv(xc, w, pads, self.stride, self.groups)
@@ -285,7 +292,10 @@ class Conv3d(nn.Module):
         w = kernel.astype(cd)
         if os.environ.get("COOCC_ZPAD_STACK"):
             out = self._zpad_stack(xc, w, pads)
-        elif not os.environ.get("COOCC_ZSLICE_TAP"):
+        elif not os.environ.get("COOCC_ZSLICE_TAP") \
+                and not (self.stride[2] > 1 and Z % 2 == 1):
+            # same odd-Z strided reroute as _zbatch_resident (TPU worker
+            # kill at the openoccupancy stage-3 shapes, round-5 bisect)
             out = _ztap_cat_conv(xc, w, pads, self.stride, 1)
         else:
             out = _zslice_tap_conv(xc, w, pads, self.stride, 1)

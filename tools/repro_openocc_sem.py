@@ -39,10 +39,36 @@ def main():
 
     from coocc_tpu.config import get_config
     from coocc_tpu.nn.fpn3d import FPN3D
+    from coocc_tpu.nn.layers import Conv3d
     from coocc_tpu.nn.resnet3d import CustomResNet3D
 
     cfg = get_config("coocc_multi_r101_openoccupancy")
     dtype = jnp.bfloat16
+
+    # single-conv modes: the exact stage-3 convs in isolation (zb layout),
+    # optionally under the alternative z lowerings via env
+    # (COOCC_ZSLICE_TAP / COOCC_ZPAD_STACK are read inside Conv3d)
+    single = {
+        # name: (in_shape [B, Z, X, Y, C], features, kernel, stride)
+        "c31": ((1, 3, 32, 32, 512), 1024, (3, 3, 3), (2, 2, 2)),
+        "c32": ((1, 2, 16, 16, 1024), 1024, (3, 3, 3), (1, 1, 1)),
+        "ds3": ((1, 3, 32, 32, 512), 1024, (1, 1, 1), (2, 2, 2)),
+    }
+    if args.mode in single:
+        shp, feats, ks, st = single[args.mode]
+        x = jax.random.normal(jax.random.PRNGKey(0), shp, dtype)
+        conv = Conv3d(feats, ks, st, 1 if ks[0] == 3 else 0,
+                      use_bias=False, dtype=dtype)
+        v = conv.init(jax.random.PRNGKey(1), x, zb=True)
+        t0 = time.perf_counter()
+        val = float(jax.jit(
+            lambda v, x: jnp.sum(jnp.abs(
+                conv.apply(v, x, zb=True).astype(jnp.float32))))(v, x))
+        print(f"[{args.mode}] RUN OK {val:.3e} "
+              f"{time.perf_counter()-t0:.0f}s "
+              f"zslice={os.environ.get('COOCC_ZSLICE_TAP', '')} "
+              f"zpad={os.environ.get('COOCC_ZPAD_STACK', '')}", flush=True)
+        return
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1, args.xy, args.xy, args.z, 128), dtype)
 
