@@ -15,6 +15,7 @@ channels-last, every capacity static.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -128,8 +129,14 @@ class CoOccRay(nn.Module):
 
         impl = pts.impl
         if impl == "auto":
-            impl = ("packed" if pts.encoder == "SparseLiDAREnc8x"
-                    else "gather")
+            if pts.encoder == "SparseLiDAREnc8x":
+                impl = "packed"
+            elif pts.encoder == "SparseEncoderHD":
+                # on-chip A/B knob (tools/ab_hd_impl.py): packed_hd is the
+                # z-packed dense twin, gather the rulebook+gather-GEMM form
+                impl = os.environ.get("COOCC_HD_IMPL", "gather")
+            else:
+                impl = "gather"
         if impl in ("dense", "packed") \
                 and pts.encoder == "SparseLiDAREnc8x":
             # The dense encoders only consume voxel OCCUPANCY (their stem
@@ -181,14 +188,30 @@ class CoOccRay(nn.Module):
         sp = SparseTensor(ids=v.ids, features=v.features, mask=v.mask)
         if pts.encoder == "SparseEncoderHD":
             from ..nn.second3d import SECOND3D, SECOND3DFPN
-            from ..nn.sparse_encoder_hd import SparseEncoderHD
-            dense = SparseEncoderHD(
-                in_channels=pts.input_channel,
-                base_channels=pts.base_channel,
-                output_channels=pts.out_channel,
-                sparse_shape_xyz=pts.sparse_shape_xyz,
-                capacity=max_vox, name="pts_middle_encoder",
-            )(sp, train=train)
+            if impl == "packed_hd":
+                # z-packed dense twin (same params/scopes): one conv2d per
+                # sparse conv instead of rulebook+gather chains — the
+                # round-5 fix for coocc_lidar's 0.466 fps (see
+                # nn/sparse_enc_packed_hd.py)
+                from ..nn.sparse_enc_packed_hd import PackedEncoderHD
+                dense = PackedEncoderHD(
+                    in_channels=pts.input_channel,
+                    base_channels=pts.base_channel,
+                    output_channels=pts.out_channel,
+                    sparse_shape_xyz=pts.sparse_shape_xyz,
+                    capacity=max_vox,
+                    compute_dtype=self.dtype or jnp.float32,
+                    name="pts_middle_encoder",
+                )(sp, train=train)
+            else:
+                from ..nn.sparse_encoder_hd import SparseEncoderHD
+                dense = SparseEncoderHD(
+                    in_channels=pts.input_channel,
+                    base_channels=pts.base_channel,
+                    output_channels=pts.out_channel,
+                    sparse_shape_xyz=pts.sparse_shape_xyz,
+                    capacity=max_vox, name="pts_middle_encoder",
+                )(sp, train=train)
             if cfg.second3d is not None:
                 # dense [B, X, Y, Z, C] -> conv axes (Z, Y, X) like the
                 # reference's (D, H, W) layout, then back
