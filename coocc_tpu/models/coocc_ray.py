@@ -132,9 +132,14 @@ class CoOccRay(nn.Module):
             if pts.encoder == "SparseLiDAREnc8x":
                 impl = "packed"
             elif pts.encoder == "SparseEncoderHD":
-                # on-chip A/B knob (tools/ab_hd_impl.py): packed_hd is the
-                # z-packed dense twin, gather the rulebook+gather-GEMM form
-                impl = os.environ.get("COOCC_HD_IMPL", "gather")
+                # packed_hd (z-packed dense twin) won the round-5 on-chip
+                # A/B 425.77 ms vs 2088.49 ms gather-GEMM at real
+                # coocc_lidar shapes (tools/ab_hd_impl.py, docs/ab_hd.log)
+                # and drops the gather path's capacity truncation of
+                # dilated downsample sets (at 120k cap the truncation was
+                # ACTIVE at real occupancy). COOCC_HD_IMPL=gather restores
+                # the rulebook form.
+                impl = os.environ.get("COOCC_HD_IMPL", "packed_hd")
             else:
                 impl = "gather"
         if impl in ("dense", "packed") \
