@@ -62,7 +62,10 @@ class _HDBasicBlock(nn.Module):
         y = _PackedSubM(C, name="conv2")(y, maskf_pc, C)
         y = _PackedBN(C, eps=1e-3, momentum=0.01, name="norm2")(
             y, maskf_pc, train)
-        return nn.relu(y + identity) * maskf_pc
+        # no tail mask multiply: _PackedBN already returns masked features
+        # and identity is masked on entry, so relu(sum) is masked — one
+        # fewer full-tensor HBM pass per block (1.3 GB at HD stage 0)
+        return nn.relu(y + identity)
 
 
 def _strided_packed_weight_z(w27: jnp.ndarray, p_in: int, p_out: int,
@@ -139,9 +142,11 @@ class _HDStridedTwin(nn.Module):
         zvalid = jnp.asarray((slot_z < z_out).astype(np.float32), cd)
         new_maskf = new_maskf * zvalid[None, :, None, None, :]
         mask_pc = jnp.repeat(new_maskf, self.cout, axis=-1)
+        # BN masks both its stats (x*maskf internally) and its output, so
+        # no pre-mask needed; relu preserves the zeros
         y = _PackedBN(self.cout, eps=1e-3, momentum=0.01, name="norm")(
-            y * mask_pc, mask_pc, train)
-        y = nn.relu(y) * mask_pc
+            y, mask_pc, train)
+        y = nn.relu(y)
         return y, new_maskf
 
 
@@ -204,7 +209,7 @@ class PackedEncoderHD(nn.Module):
             x_pb, mask_pc, Cin)
         x_pb = _PackedBN(self.base_channels, eps=1e-3, momentum=0.01,
                          name="norm_input")(x_pb, mask_pc, train)
-        x_pb = nn.relu(x_pb) * mask_pc
+        x_pb = nn.relu(x_pb)  # BN output is masked; relu keeps the zeros
 
         # ---- stages ----------------------------------------------------
         p = p0
@@ -239,8 +244,8 @@ class PackedEncoderHD(nn.Module):
             *x_pb.shape[:-1], p * self.output_channels)
         mask_pc = jnp.repeat(maskf, self.output_channels, axis=-1)
         y = _PackedBN(self.output_channels, eps=1e-3, momentum=0.01,
-                      name="norm_out")(y * mask_pc, mask_pc, train)
-        y = nn.relu(y) * mask_pc
+                      name="norm_out")(y, mask_pc, train)
+        y = nn.relu(y)
 
         # ---- unpack to dense [B, X, Y, Z, C] ---------------------------
         grid = (X0, Y0, Z0)
