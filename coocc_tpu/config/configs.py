@@ -54,6 +54,12 @@ def coocc_multi_r50_256x704() -> CoOccConfig:
     lss_ds = (2, 2, 2)
     return CoOccConfig(
         name="coocc_multi_r50_256x704",
+        # TPU fast path: every on-chip number in README/BENCH was
+        # measured in bf16 compute (fp32 params/accumulation); fp32
+        # compute also OOMs the coocc_lidar eval CLI (20.2G > 15.75G
+        # HBM, round 5). Tests/goldens construct models with explicit
+        # fp32 dtype and are unaffected.
+        compute_dtype="bfloat16",
         model_type="COOCC_Ray",
         point_cloud_range=pc_range,
         occ_size=occ_size,
@@ -168,6 +174,12 @@ def coocc_kitti() -> CoOccConfig:
     lss_ds = (2, 2, 2)
     return CoOccConfig(
         name="coocc_kitti",
+        # TPU fast path: every on-chip number in README/BENCH was
+        # measured in bf16 compute (fp32 params/accumulation); fp32
+        # compute also OOMs the coocc_lidar eval CLI (20.2G > 15.75G
+        # HBM, round 5). Tests/goldens construct models with explicit
+        # fp32 dtype and are unaffected.
+        compute_dtype="bfloat16",
         model_type="COOCC_Ray",
         num_classes=20,
         point_cloud_range=pc_range,
@@ -205,6 +217,12 @@ def coocc_lidar() -> CoOccConfig:
     lss_ds = (2, 2, 2)
     return CoOccConfig(
         name="coocc_lidar",
+        # TPU fast path: every on-chip number in README/BENCH was
+        # measured in bf16 compute (fp32 params/accumulation); fp32
+        # compute also OOMs the coocc_lidar eval CLI (20.2G > 15.75G
+        # HBM, round 5). Tests/goldens construct models with explicit
+        # fp32 dtype and are unaffected.
+        compute_dtype="bfloat16",
         model_type="COOCC_Ray_L",
         point_cloud_range=pc_range,
         occ_size=occ_size,
