@@ -150,30 +150,6 @@ class _HDStridedTwin(nn.Module):
         return y, new_maskf
 
 
-def _repack(x_pb, maskf, C, p_new):
-    """Repack [B, bz, X, Y, p*C] (+ per-slot mask) to pack size p_new.
-
-    Exact: unpack to z-major lane layout, pad z to a multiple of p_new,
-    re-split. Used when the cheapest pack size changes mid-encoder (the
-    stage0 p=6 experiment keeps K at exactly one MXU tile there, then
-    returns to the halving chain).
-    """
-    B, bz, X, Y, pc = x_pb.shape
-    p = pc // C
-    Z = bz * p
-    lm = jnp.transpose(x_pb, (0, 2, 3, 1, 4)).reshape(B, X, Y, Z, C)
-    mm = jnp.transpose(maskf, (0, 2, 3, 1, 4)).reshape(B, X, Y, Z)
-    bz2 = -(-Z // p_new)
-    padz = bz2 * p_new - Z
-    if padz:
-        lm = jnp.pad(lm, ((0, 0),) * 3 + ((0, padz), (0, 0)))
-        mm = jnp.pad(mm, ((0, 0),) * 3 + ((0, padz),))
-    lm = lm.reshape(B, X, Y, bz2, p_new * C)
-    mm = mm.reshape(B, X, Y, bz2, p_new)
-    return (jnp.transpose(lm, (0, 3, 1, 2, 4)),
-            jnp.transpose(mm, (0, 3, 1, 2, 4)))
-
-
 class PackedEncoderHD(nn.Module):
     """Apply-compatible z-packed twin of SparseEncoderHD."""
     in_channels: int = 4
@@ -187,12 +163,6 @@ class PackedEncoderHD(nn.Module):
     encoder_strides: Tuple[int, ...] = (2, 2, 2, 1)
     capacity: int = 90000
     compute_dtype: Any = jnp.float32
-    # pack-size override for level 0 (None = the power-of-2 halving chain).
-    # p0=6 at C0=16 makes the stage-0 SubM ext conv's K exactly one MXU
-    # tile ((6+2)*16 = 128 vs p0=8's 160 -> 256 padded) and cuts the
-    # block-tridiagonal redundancy (p+2)/3 from 3.33x to 2.67x; after
-    # stage0_down (p 6 -> 3) the tensor is repacked to the chain's p.
-    p0_override: Any = None
 
     @nn.compact
     def __call__(self, sp: SparseTensor, train: bool = False):
@@ -206,8 +176,13 @@ class PackedEncoderHD(nn.Module):
         p0_chain = 2 ** n_strided
         while p0_chain * 2 * C0 <= 128:
             p0_chain *= 2
-        p0 = self.p0_override or p0_chain
-        assert p0 % 2 == 0, "strided packing needs even p0"
+        # a p0=6 "exact-tile" variant (stage-0 SubM K = (6+2)*16 = exactly
+        # 128 lanes, repacked to the halving chain after stage0_down) was
+        # A/B'd on-chip round 5 and LOST: 378.95 ms vs 354.29 ms for this
+        # p0=8 chain — XLA's K=160 handling beats the theory while the
+        # 96-lane output underfills the MXU N dim. Knob deleted per the
+        # one-wins-or-documented-loss rule (git history has the math).
+        p0 = p0_chain
         bz = -(-Z0 // p0)
 
         # ---- scatter the sparse voxels into the dense packed grid ------
@@ -259,11 +234,6 @@ class PackedEncoderHD(nn.Module):
                         x_pb, maskf, p, padz, z_out, train)
                     p //= 2
                     zcur = z_out
-                    p_chain = p0_chain // (2 ** (i + 1))
-                    if p != p_chain:
-                        # leave the override pack size; rejoin the chain
-                        x_pb, maskf = _repack(x_pb, maskf, oc, p_chain)
-                        p = p_chain
                     mask_pc = jnp.repeat(maskf, oc, axis=-1)
                 else:
                     x_pb = _HDBasicBlock(oc, name=f"stage{i}_block{j}")(

@@ -128,16 +128,3 @@ def test_packed_hd_train_stats_match_gather():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
                                    rtol=5e-3, err_msg=str(pa))
 
-
-def test_packed_hd_p0_override_matches():
-    gather, _ = _mods()
-    packed6 = PackedEncoderHD(
-        in_channels=4, base_channels=4, output_channels=32,
-        sparse_shape_xyz=GRID, encoder_channels=CHANNELS,
-        capacity=1024, p0_override=6)
-    sp = _sparse_input(seed=7)
-    v = gather.init(jax.random.PRNGKey(0), sp, train=False)
-    ref = gather.apply(v, sp, train=False)
-    got = packed6.apply(v, sp, train=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-4, rtol=2e-4)
